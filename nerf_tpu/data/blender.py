@@ -1,0 +1,127 @@
+"""Blender synthetic (nerf_synthetic) dataset loader.
+
+Parity: reference ``src/datasets/nerf/blender.py`` — loads
+``transforms_<split>.json``, focal = 0.5*W / tan(0.5*camera_angle_x),
+alpha-composites RGBA onto white when white_bkgd (rgb*a + (1-a)), resizes
+when the image size differs from (H, W).
+
+Divergences (intended-behavior fixes, SURVEY.md §7.3): ``input_ratio`` and
+``cams`` are honored here (the reference stores but never applies them,
+blender.py:28-29); images are kept as host numpy and moved to device once.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def _load_image(path: str) -> np.ndarray:
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(path), dtype=np.float32) / 255.0
+    return img
+
+
+def _resize(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    import cv2
+
+    return cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
+
+
+class BlenderDataset:
+    """Loads one split of a Blender synthetic scene into numpy arrays.
+
+    Attributes: images [N,H,W,3] float32, poses [N,4,4] float32,
+    K [3,3] float32, H, W, focal.
+    """
+
+    def __init__(
+        self,
+        data_root: str = "data/nerf_synthetic",
+        split: str = "train",
+        scene: str = "lego",
+        input_ratio: float = 1.0,
+        cams: Optional[Sequence[int]] = None,
+        H: int = 800,
+        W: int = 800,
+        white_bkgd: bool = True,
+    ):
+        self.split = split
+        scene_path = os.path.join(data_root, scene)
+        with open(os.path.join(scene_path, f"transforms_{split}.json")) as f:
+            meta = json.load(f)
+
+        if input_ratio != 1.0:
+            H, W = int(H * input_ratio), int(W * input_ratio)
+        self.H, self.W = H, W
+
+        if "camera_angle_x" in meta:
+            self.focal = 0.5 * W / np.tan(0.5 * meta["camera_angle_x"])
+        else:
+            self.focal = float(W)
+
+        frames = meta["frames"]
+        if cams is not None and tuple(cams) != (0, -1, 1):
+            start, stop, step = cams
+            stop = None if stop == -1 else stop
+            frames = frames[start:stop:step]
+
+        images, poses = [], []
+        for frame in frames:
+            img_path = os.path.join(scene_path, frame["file_path"] + ".png")
+            if not os.path.exists(img_path):
+                continue
+            img = _load_image(img_path)
+            if img.shape[-1] == 4:
+                if white_bkgd:
+                    rgb, alpha = img[..., :3], img[..., -1:]
+                    img = rgb * alpha + (1.0 - alpha)
+                else:
+                    img = img[..., :3]
+            else:
+                img = img[..., :3]
+            if img.shape[:2] != (H, W):
+                img = _resize(img, H, W)
+            images.append(img.astype(np.float32))
+            poses.append(np.asarray(frame["transform_matrix"], dtype=np.float32))
+
+        self.images = (
+            np.stack(images) if images else np.zeros((0, H, W, 3), np.float32)
+        )
+        self.poses = np.stack(poses) if poses else np.zeros((0, 4, 4), np.float32)
+        self.K = np.array(
+            [[self.focal, 0, W / 2], [0, self.focal, H / 2], [0, 0, 1]],
+            dtype=np.float32,
+        )
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, index: int) -> Dict:
+        """Whole-image item, same surface as the reference __getitem__."""
+        return {
+            "index": index,
+            "image": self.images[index],
+            "pose": self.poses[index],
+            "intrinsics": self.K,
+            "H": self.H,
+            "W": self.W,
+        }
+
+
+def make_dataset(cfg, split: str) -> BlenderDataset:
+    """Dataset factory from the config tree (train_dataset / test_dataset)."""
+    node = cfg.train_dataset if split == "train" else cfg.test_dataset
+    return BlenderDataset(
+        data_root=node.data_root,
+        split=node.get("split", split),
+        scene=cfg.get("scene", "lego"),
+        input_ratio=float(node.get("input_ratio", 1.0)),
+        cams=node.get("cams", None),
+        H=int(node.get("H", 800)),
+        W=int(node.get("W", 800)),
+        white_bkgd=bool(cfg.task_arg.white_bkgd),
+    )

@@ -1,0 +1,265 @@
+"""The volume renderer: hierarchical coarse+fine NeRF rendering, jit-first.
+
+This is the TPU-native re-design of the reference's
+``src/models/nerf/renderer/volume_renderer.py``:
+
+- ``render_rays``  — the whole pipeline for one static-size ray batch
+  (coarse sample -> query -> composite -> importance sample -> merge-sort ->
+  fine query -> composite), pure function of (params, rays, rng).
+  Matches reference ``_render_pytorch`` (:109-216) chunk-body math.
+- ``render_image`` — whole-image rendering as a ``lax.map`` over static ray
+  tiles (the analog of the reference's 2048-ray chunk loop, :147-154, but a
+  single compiled program).
+- ESS (empty-space skipping) via ``occupancy.sample_coarse_with_ess`` and
+  ERT (early ray termination) via masked compositing — static shapes, no
+  data-dependent control flow.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.encoders import freq_encode, freq_out_dim
+from ..models.nerf_mlp import apply_nerf_mlp
+from . import occupancy as occ
+from .composite import composite
+from .rays import image_rays
+from .sampling import sample_coarse, sample_pdf
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    """Static (hashable) render configuration — safe to close over in jit."""
+
+    n_samples: int = 64
+    n_importance: int = 128
+    near: float = 2.0
+    far: float = 6.0
+    perturb: float = 1.0
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = True
+    use_viewdirs: bool = True
+    lindisp: bool = False
+    enable_ert: bool = True
+    ert_threshold: float = 0.01
+    enable_ess: bool = True
+    xyz_freqs: int = 10
+    dir_freqs: int = 4
+    mlp_depth: int = 8
+    mlp_width: int = 256
+    skips: Tuple[int, ...] = (4,)
+    compute_dtype: str = "bfloat16"
+    tile_rays: int = 8192
+    use_pallas: bool = True
+
+    @property
+    def input_ch(self) -> int:
+        return freq_out_dim(3, self.xyz_freqs)
+
+    @property
+    def input_ch_views(self) -> int:
+        return freq_out_dim(3, self.dir_freqs)
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "RenderOptions":
+        ta = cfg.task_arg
+        return cls(
+            n_samples=int(ta.N_samples),
+            n_importance=int(ta.N_importance),
+            near=float(cfg.get("near", 2.0)),
+            far=float(cfg.get("far", 6.0)),
+            perturb=float(ta.perturb),
+            raw_noise_std=float(ta.raw_noise_std),
+            white_bkgd=bool(ta.white_bkgd),
+            use_viewdirs=bool(ta.use_viewdirs),
+            lindisp=bool(ta.lindisp),
+            enable_ert=bool(cfg.get("enable_ert", True)),
+            ert_threshold=float(cfg.get("ert_threshold", 0.01)),
+            enable_ess=bool(cfg.get("enable_ess", True)),
+            xyz_freqs=int(cfg.network.xyz_encoder.freq),
+            dir_freqs=int(cfg.network.dir_encoder.freq),
+            mlp_depth=int(cfg.network.nerf.D),
+            mlp_width=int(cfg.network.nerf.W),
+            skips=tuple(cfg.network.nerf.skips),
+            compute_dtype=str(cfg.network.get("dtype", "bfloat16")),
+            tile_rays=int(cfg.get("render_tile_rays", 8192)),
+            use_pallas=bool(cfg.get("use_pallas_kernels", True)),
+        )
+
+
+def query_network_xla(
+    params: Any,
+    pts: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    opts: RenderOptions,
+) -> jnp.ndarray:
+    """Reference math in pure XLA: freq-encode points (+dirs), run the MLP.
+
+    pts: [N, S, 3]; viewdirs: [N, 3] or None -> raw [N, S, 4].
+    (Analog of reference ``_query_network`` volume_renderer.py:270-284, minus
+    the chunking — XLA tiles the matmuls itself.)
+    """
+    n, s, _ = pts.shape
+    emb = freq_encode(pts.reshape(-1, 3), opts.xyz_freqs)
+    if opts.use_viewdirs and viewdirs is not None:
+        dirs = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3)).reshape(-1, 3)
+        emb = jnp.concatenate([emb, freq_encode(dirs, opts.dir_freqs)], axis=-1)
+    raw = apply_nerf_mlp(
+        params,
+        emb,
+        input_ch=opts.input_ch,
+        skips=opts.skips,
+        use_viewdirs=opts.use_viewdirs,
+        compute_dtype=jnp.dtype(opts.compute_dtype),
+    )
+    return raw.reshape(n, s, 4)
+
+
+def get_query_fn(opts: RenderOptions) -> Callable:
+    if opts.use_pallas:
+        try:
+            from ..ops.fused_mlp import query_network_pallas
+
+            return query_network_pallas
+        except Exception:  # pragma: no cover - fallback parity with reference
+            return query_network_xla
+    return query_network_xla
+
+
+def render_rays(
+    params: Dict[str, Any],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: jax.Array,
+    opts: RenderOptions,
+    grid: Optional[occ.OccupancyGrid] = None,
+    train: bool = False,
+    query_fn: Optional[Callable] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Hierarchical render of a [N, 3] ray batch.
+
+    params: {"coarse": mlp_params, "fine": mlp_params}.
+    Returns the reference's output surface: rgb_map_0/disp_map_0/acc_map_0/
+    depth_map_0 (coarse) and rgb_map/disp_map/acc_map/depth_map (fine).
+    """
+    if query_fn is None:
+        query_fn = get_query_fn(opts)
+    n_rays = rays_o.shape[0]
+    k_coarse, k_fine, k_noise_c, k_noise_f = jax.random.split(key, 4)
+    viewdirs = rays_d if opts.use_viewdirs else None
+
+    # 1. coarse sampling (with optional ESS refocusing)
+    if opts.enable_ess and grid is not None:
+        z_vals = occ.sample_coarse_with_ess(
+            k_coarse, grid, rays_o, rays_d,
+            opts.n_samples, opts.near, opts.far,
+            perturb=opts.perturb, lindisp=opts.lindisp,
+        )
+    else:
+        z_vals = sample_coarse(
+            k_coarse, n_rays, opts.n_samples, opts.near, opts.far,
+            perturb=opts.perturb, lindisp=opts.lindisp,
+        )
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., None]
+
+    # 2. coarse network query + compositing
+    raw = query_fn(params["coarse"], pts, viewdirs, opts)
+    ert = opts.ert_threshold if opts.enable_ert else None
+    out_c = composite(
+        raw, z_vals, rays_d,
+        raw_noise_std=opts.raw_noise_std, noise_key=k_noise_c,
+        white_bkgd=opts.white_bkgd, ert_threshold=ert,
+    )
+    ret = {
+        "rgb_map_0": out_c["rgb_map"],
+        "disp_map_0": out_c["disp_map"],
+        "acc_map_0": out_c["acc_map"],
+        "depth_map_0": out_c["depth_map"],
+    }
+
+    # 3. hierarchical fine pass
+    if opts.n_importance > 0:
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        # NOTE: weights NOT detached — parity with reference _sample_fine
+        z_fine = sample_pdf(
+            k_fine, z_mid, out_c["weights"][..., 1:-1],
+            opts.n_importance, deterministic=not train,
+        )
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+        pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., None]
+        raw_f = query_fn(params["fine"], pts_f, viewdirs, opts)
+        out_f = composite(
+            raw_f, z_all, rays_d,
+            raw_noise_std=opts.raw_noise_std, noise_key=k_noise_f,
+            white_bkgd=opts.white_bkgd, ert_threshold=ert,
+        )
+        ret.update(
+            rgb_map=out_f["rgb_map"],
+            disp_map=out_f["disp_map"],
+            acc_map=out_f["acc_map"],
+            depth_map=out_f["depth_map"],
+        )
+        ret["fine_weights"] = out_f["weights"]
+        ret["fine_z_vals"] = z_all
+    ret["coarse_weights"] = out_c["weights"]
+    ret["coarse_z_vals"] = z_vals
+    return ret
+
+
+@partial(
+    jax.jit,
+    static_argnames=("H", "W", "opts", "train", "with_aux"),
+)
+def render_image(
+    params: Dict[str, Any],
+    pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    key: jax.Array,
+    H: int,
+    W: int,
+    opts: RenderOptions,
+    grid: Optional[occ.OccupancyGrid] = None,
+    train: bool = False,
+    with_aux: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Render a full HxW image as one compiled program.
+
+    Rays are processed in static tiles via ``lax.map`` (gradient-free path;
+    for training use ray batches via ``render_rays``). Output maps reshaped
+    to [H, W, ...] like reference ``_render_pytorch`` (:206-215).
+    """
+    rays_o, rays_d = image_rays(H, W, intrinsics, pose)
+    n = H * W
+    tile = min(opts.tile_rays, n)
+    n_pad = (-n) % tile
+    rays_o = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
+    rays_d = jnp.pad(
+        rays_d, ((0, n_pad), (0, 0)), constant_values=1.0
+    )  # pad dirs non-zero to keep norms finite
+    n_tiles = (n + n_pad) // tile
+    rays_o = rays_o.reshape(n_tiles, tile, 3)
+    rays_d = rays_d.reshape(n_tiles, tile, 3)
+    keys = jax.random.split(key, n_tiles)
+
+    def tile_fn(args):
+        ro, rd, k = args
+        out = render_rays(params, ro, rd, k, opts, grid=grid, train=train)
+        if not with_aux:
+            out = {k2: v for k2, v in out.items() if k2.endswith("map") or k2.endswith("_0")}
+        return out
+
+    out = jax.lax.map(tile_fn, (rays_o, rays_d, keys))
+    ret = {}
+    for k2, v in out.items():
+        flat = v.reshape(n_tiles * tile, *v.shape[2:])[:n]
+        if k2.startswith("rgb_map"):
+            ret[k2] = flat.reshape(H, W, 3)
+        elif k2.endswith("map") or k2.endswith("map_0"):
+            ret[k2] = flat.reshape(H, W)
+        else:
+            ret[k2] = flat
+    return ret

@@ -1,0 +1,53 @@
+"""Optimizer + LR schedule.
+
+Parity: reference Adam lr 5e-4 (``make_optimizer``, src/train/optimizer.py),
+gradient value-clip at 40 applied before the step (trainer.py:59),
+exponential decay lr = base * gamma^(epoch / decay_epochs) stepped per epoch
+(src/utils/optimizer/lr_scheduler.py:68-79). Here the schedule is a pure
+function of the global step (epoch = step // ep_iter).
+"""
+from __future__ import annotations
+
+import optax
+
+
+def exponential_epoch_schedule(base_lr: float, gamma: float, decay_epochs: int, ep_iter: int):
+    def schedule(step):
+        epoch = step // ep_iter
+        return base_lr * gamma ** (epoch / decay_epochs)
+
+    return schedule
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    tr = cfg.train
+    sched_cfg = tr.scheduler
+    if sched_cfg.get("type", "exponential") == "exponential":
+        sched = exponential_epoch_schedule(
+            float(tr.lr), float(sched_cfg.gamma), int(sched_cfg.decay_epochs),
+            int(cfg.get("ep_iter", 500)),
+        )
+    else:  # multi_step
+        milestones = [int(m) * int(cfg.get("ep_iter", 500)) for m in sched_cfg.milestones]
+        sched = optax.piecewise_constant_schedule(
+            float(tr.lr), {m: float(sched_cfg.gamma) for m in milestones}
+        )
+
+    opt_name = tr.get("optim", "adam")
+    txs = [optax.clip(40.0)]  # value-clip parity with trainer.py:59
+    wd = float(tr.get("weight_decay", 0.0))
+    if opt_name == "adam":
+        txs.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        if wd > 0:
+            txs.append(optax.add_decayed_weights(wd))
+    elif opt_name == "radam":
+        txs.append(optax.scale_by_radam())
+        if wd > 0:
+            txs.append(optax.add_decayed_weights(wd))
+    elif opt_name == "sgd":
+        if wd > 0:
+            txs.append(optax.add_decayed_weights(wd))
+    else:
+        raise ValueError(f"unknown optimizer {opt_name}")
+    txs.append(optax.scale_by_learning_rate(sched))
+    return optax.chain(*txs)

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Runner CLI: smoke tests + full evaluation.
+
+Parity surface: reference ``run.py`` — dispatches ``run_<type>`` by
+``--type``: dataset (loader smoke), network (renderer timing), evaluate
+(full test-set eval: metrics, fps, optional spiral video).
+"""
+import sys
+import time
+
+
+def run_dataset(cfg):
+    from nerf_tpu.data.blender import make_dataset
+
+    ds = make_dataset(cfg, "train")
+    t0 = time.time()
+    for i in range(len(ds)):
+        _ = ds[i]
+    print(f"dataset ok: {len(ds)} items in {time.time() - t0:.2f}s "
+          f"({ds.H}x{ds.W}, focal {ds.focal:.2f})")
+
+
+def _load_eval_params(cfg, opts):
+    import jax
+
+    from nerf_tpu.train.checkpoint import load_checkpoint
+    from nerf_tpu.train.loop import init_nerf_params
+    from nerf_tpu.train.optim import make_optimizer
+    from nerf_tpu.train.state import init_state
+
+    params = init_nerf_params(jax.random.PRNGKey(0), opts)
+    template = init_state(params, make_optimizer(cfg))
+    ckpt = load_checkpoint(cfg.trained_model_dir, template)
+    if ckpt is None:
+        print(f"WARNING: no checkpoint in {cfg.trained_model_dir}; "
+              "using random weights")
+        return params
+    return ckpt[0].params
+
+
+def run_network(cfg):
+    """Renderer timing over test batches (reference run.py:17-42)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.data.blender import make_dataset
+    from nerf_tpu.render.renderer import RenderOptions, render_image
+    from nerf_tpu.render import occupancy as occ
+
+    opts = RenderOptions.from_cfg(cfg)
+    params = _load_eval_params(cfg, opts)
+    grid = (occ.init_grid(jax.random.PRNGKey(1),
+                          int(cfg.get("occupancy_grid_resolution", 128)))
+            if opts.enable_ess else None)
+    ds = make_dataset(cfg, "test")
+    K = jnp.asarray(ds.K)
+    times = []
+    for i in range(min(5, len(ds))):
+        t0 = time.time()
+        out = render_image(params, jnp.asarray(ds.poses[i]), K,
+                           jax.random.PRNGKey(i), ds.H, ds.W, opts, grid=grid)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+        print(f"frame {i}: {times[-1]:.3f}s")
+    if len(times) > 1:
+        mean_t = sum(times[1:]) / len(times[1:])  # drop first (compile)
+        print(f"mean render time {mean_t:.3f}s, fps {1.0 / mean_t:.2f}, "
+              f"{ds.H * ds.W / mean_t:,.0f} rays/s")
+
+
+def run_evaluate(cfg):
+    """Full eval: PSNR/SSIM/MSE + fps + optional video (reference run.py:45)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_tpu.data.blender import make_dataset
+    from nerf_tpu.eval.evaluator import Evaluator
+    from nerf_tpu.render.renderer import RenderOptions, render_image
+    from nerf_tpu.render import occupancy as occ
+
+    if cfg.task == "img_fit":
+        from nerf_tpu.train.img_fit_loop import eval_img_fit
+
+        return eval_img_fit(cfg)
+
+    opts = RenderOptions.from_cfg(cfg)
+    params = _load_eval_params(cfg, opts)
+    grid = None
+    if opts.enable_ess:
+        # grid from the trained density (KiloNeRF rebuild) for honest ESS
+        from nerf_tpu.train.loop import make_density_fn
+        import jax.random as jrandom
+
+        grid = occ.populate_from_density(
+            occ.init_grid(jrandom.PRNGKey(1),
+                          int(cfg.get("occupancy_grid_resolution", 128))),
+            make_density_fn(params["coarse"], opts),
+        )
+
+    ds = make_dataset(cfg, "test")
+    evaluator = Evaluator(cfg.result_dir)
+    K = jnp.asarray(ds.K)
+    net_times = []
+    for i in range(len(ds)):
+        t0 = time.time()
+        out = render_image(params, jnp.asarray(ds.poses[i]), K,
+                           jax.random.PRNGKey(i), ds.H, ds.W, opts, grid=grid)
+        jax.block_until_ready(out)
+        net_times.append(time.time() - t0)
+        pred = np.asarray(out.get("rgb_map", out["rgb_map_0"]))
+        evaluator.evaluate(pred, ds.images[i], i)
+    summary = evaluator.summarize()
+    if len(net_times) > 1:
+        mean_t = sum(net_times[1:]) / len(net_times[1:])
+        print(f"mean net_time: {mean_t:.3f}s  fps: {1.0 / mean_t:.2f}  "
+              f"rays/s: {ds.H * ds.W / mean_t:,.0f}")
+
+    if cfg.get("write_video", False):
+        from nerf_tpu.eval.video import render_novel_view_sequence
+        from nerf_tpu.render.spiral import generate_spiral_poses
+
+        if cfg.get("render_type", "spiral") == "spiral":
+            poses = generate_spiral_poses(ds.poses, int(cfg.get("render_num", 120)))
+        else:
+            poses = ds.poses[: int(cfg.get("render_num", 120))]
+
+        def render_fn(pose):
+            out = render_image(params, jnp.asarray(pose), K,
+                               jax.random.PRNGKey(0), ds.H, ds.W, opts, grid=grid)
+            return {"rgb_map": out.get("rgb_map", out["rgb_map_0"]),
+                    "disp_map": out.get("disp_map", out["disp_map_0"])}
+
+        render_novel_view_sequence(
+            render_fn, poses, ds.H, ds.W, cfg.result_dir,
+            fps=int(cfg.get("fps", 24)),
+        )
+    return summary
+
+
+def main(argv=None):
+    from nerf_tpu.config import parse_args
+
+    cfg, args = parse_args(argv)
+    run_fn = globals().get(f"run_{args.type}")
+    if run_fn is None:
+        print(f"unknown --type {args.type!r}; available: dataset, network, evaluate")
+        sys.exit(1)
+    run_fn(cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
