@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: rays/s/chip on lego 800x800 (the north-star metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
+ratio against this framework's round-1 pure-XLA path measured on the same
+v5e chip (52,519 rays/s full 64+128 hierarchical forward, ESS+ERT on) —
+i.e. the kernel-fusion speedup over the unfused baseline.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+XLA_BASELINE_RAYS_PER_S = 52519.0  # round-1 unfused XLA path, v5e, this repo
+
+LEGO_ROOT = "/root/reference/data/nerf_synthetic"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.render.renderer import RenderOptions, render_image
+    from nerf_tpu.render import occupancy as occ
+    from nerf_tpu.train.loop import init_nerf_params
+
+    H = W = 800
+    opts = RenderOptions()  # lego defaults: 64+128, ESS+ERT, bf16
+    if "--no-pallas" in sys.argv:
+        opts = RenderOptions(use_pallas=False)
+    params = init_nerf_params(jax.random.PRNGKey(0), opts)
+
+    # camera: lego-like intrinsics; real pose if dataset present
+    try:
+        from nerf_tpu.data.blender import BlenderDataset
+
+        ds = BlenderDataset(LEGO_ROOT, split="test", scene="lego",
+                            cams=[0, 2, 1], H=H, W=W)
+        pose = jnp.asarray(ds.poses[0])
+        K = jnp.asarray(ds.K)
+    except Exception:
+        pose = jnp.eye(4).at[2, 3].set(4.0)
+        K = jnp.asarray([[1111.1, 0, W / 2], [0, 1111.1, H / 2], [0, 0, 1]],
+                        jnp.float32)
+
+    grid = occ.init_grid(jax.random.PRNGKey(1)) if opts.enable_ess else None
+
+    # warmup (compile)
+    out = render_image(params, pose, K, jax.random.PRNGKey(0), H, W, opts,
+                       grid=grid)
+    np.asarray(out["rgb_map"])  # force through the device queue
+
+    n_iters = 3
+    t0 = time.time()
+    for i in range(n_iters):
+        out = render_image(params, pose, K, jax.random.PRNGKey(i), H, W, opts,
+                           grid=grid)
+        np.asarray(out["rgb_map"])  # host transfer = honest sync
+    dt = (time.time() - t0) / n_iters
+    rays_per_s = H * W / dt
+
+    print(json.dumps({
+        "metric": "lego_800x800_fwd_rays_per_s_per_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / XLA_BASELINE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
