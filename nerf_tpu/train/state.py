@@ -19,7 +19,7 @@ import optax
 
 from ..render.occupancy import OccupancyGrid
 from ..render.rays import rays_for_pixels
-from ..render.renderer import RenderOptions, render_rays
+from ..render.renderer import RenderOptions, query_network_xla, render_rays
 
 
 class TrainState(NamedTuple):
@@ -41,7 +41,10 @@ def nerf_loss(
     opts: RenderOptions,
     grid: Optional[OccupancyGrid],
 ):
-    out = render_rays(params, rays_o, rays_d, key, opts, grid=grid, train=True)
+    # training uses the XLA query path until the fused kernel's custom VJP
+    # lands (the Pallas forward has no autodiff rule)
+    out = render_rays(params, rays_o, rays_d, key, opts, grid=grid, train=True,
+                      query_fn=query_network_xla)
     loss_coarse = jnp.mean((out["rgb_map_0"] - target) ** 2)
     stats = {"loss_coarse": loss_coarse}
     loss = loss_coarse
