@@ -116,10 +116,8 @@ def train(cfg, max_epochs: Optional[int] = None):
             recorder.step = int(state.step)
             recorder.update(host_stats)
             recorder.record("train", stats=host_stats)
-            lr = float(
-                cfg.train.lr
-                * float(cfg.train.scheduler.gamma)
-                ** (epoch / float(cfg.train.scheduler.decay_epochs))
+            lr = float(cfg.train.lr) * float(cfg.train.scheduler.gamma) ** (
+                epoch / float(cfg.train.scheduler.decay_epochs)
             )
             print(
                 f"epoch {epoch} iter {done}/{ep_iter}  "
