@@ -14,13 +14,28 @@ import numpy as np
 
 
 def write_video(frames: np.ndarray, path: str, fps: int = 24):
-    """frames: [N, H, W, 3] float [0,1] or uint8."""
-    import imageio.v2 as imageio
+    """frames: [N, H, W, 3] float [0,1] or uint8.
 
+    Prefers imageio/ffmpeg (reference parity: quality 8, macro_block 16,
+    volume_renderer.py:618-707); falls back to OpenCV's mp4v writer when no
+    ffmpeg backend is installed."""
     if frames.dtype != np.uint8:
         frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    imageio.mimwrite(path, frames, fps=fps, quality=8, macro_block_size=16)
+    try:
+        import imageio.v2 as imageio
+
+        imageio.mimwrite(path, frames, fps=fps, quality=8, macro_block_size=16)
+    except Exception:
+        import cv2
+
+        h, w = frames.shape[1:3]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError(f"no video backend available for {path}")
+        for frame in frames:
+            vw.write(frame[..., ::-1])  # RGB -> BGR
+        vw.release()
 
 
 def colorize_disparity(disp: np.ndarray) -> np.ndarray:

@@ -55,6 +55,12 @@ class RenderOptions:
     compute_dtype: str = "bfloat16"
     tile_rays: int = 8192
     use_pallas: bool = True
+    # Detach coarse weights from the fine-sampling CDF (original-NeRF
+    # semantics). The reference does NOT detach (volume_renderer.py:239-268)
+    # which lets the fine loss push the coarse model into a degenerate
+    # all-empty solution during training (observed: coarse collapses to
+    # predicting background after ~1 epoch). Parity tests set False.
+    detach_fine_sampling: bool = True
 
     @property
     def input_ch(self) -> int:
@@ -120,7 +126,9 @@ def query_network_xla(
 
 
 def get_query_fn(opts: RenderOptions) -> Callable:
-    if opts.use_pallas:
+    # Pallas TPU kernels only lower on TPU backends (the axon PJRT plugin
+    # reports its own platform name, so gate on "not cpu/gpu")
+    if opts.use_pallas and jax.default_backend() not in ("cpu", "gpu", "cuda"):
         try:
             from ..ops.fused_mlp import query_network_pallas
 
@@ -184,9 +192,12 @@ def render_rays(
     # 3. hierarchical fine pass
     if opts.n_importance > 0:
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        # NOTE: weights NOT detached — parity with reference _sample_fine
+        w_fine = out_c["weights"][..., 1:-1]
+        if opts.detach_fine_sampling:
+            w_fine = jax.lax.stop_gradient(w_fine)
+            z_mid = jax.lax.stop_gradient(z_mid)
         z_fine = sample_pdf(
-            k_fine, z_mid, out_c["weights"][..., 1:-1],
+            k_fine, z_mid, w_fine,
             opts.n_importance, deterministic=not train,
         )
         z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""ESS/ERT ablation harness.
+
+Parity surface: reference ``test_ess_ert.py`` — ablation of the 4 configs
+{ESS,ERT} x {on,off} over test frames with per-frame timing and speedup
+report, occupancy statistics, and an ERT threshold sweep. Reports rays/s
+(the north-star unit) instead of only wall-clock.
+
+Usage:
+    python test_ess_ert.py --cfg_file configs/nerf/lego.yaml \
+        [n_frames 3] [H 200] [W 200]
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.config import parse_args
+    from nerf_tpu.data.blender import make_dataset
+    from nerf_tpu.render import occupancy as occ
+    from nerf_tpu.render.renderer import RenderOptions, render_image
+    from run import _load_eval_params
+
+    cfg, args = parse_args(argv)
+    n_frames = int(cfg.get("n_frames", 3))
+    base_opts = RenderOptions.from_cfg(cfg)
+    params = _load_eval_params(cfg, base_opts)
+
+    try:
+        ds = make_dataset(cfg, "test")
+        poses = ds.poses[:n_frames]
+        K = ds.K
+        H, W = ds.H, ds.W
+    except FileNotFoundError:
+        print("dataset missing; using synthetic camera")
+        H = W = int(cfg.get("H", 200))
+        poses = np.broadcast_to(np.eye(4, dtype=np.float32), (n_frames, 4, 4)).copy()
+        poses[:, 2, 3] = 4.0
+        f = 1.4 * W
+        K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    if cfg.get("H"):
+        H = int(cfg.H)
+    if cfg.get("W"):
+        W = int(cfg.W)
+
+    # occupancy grid from the trained density when a checkpoint exists
+    from nerf_tpu.train.loop import make_density_fn
+
+    grid = occ.populate_from_density(
+        occ.init_grid(jax.random.PRNGKey(1),
+                      int(cfg.get("occupancy_grid_resolution", 128))),
+        make_density_fn(params["coarse"], base_opts),
+    )
+    occ_rate = float(jnp.mean(grid.occupied.astype(jnp.float32)))
+    print(f"occupancy grid: {grid.resolution}^3, {occ_rate*100:.2f}% occupied")
+
+    import dataclasses
+
+    results = {}
+    configs = [
+        ("baseline", False, False),
+        ("ess_only", True, False),
+        ("ert_only", False, True),
+        ("ess_ert", True, True),
+    ]
+    for name, ess, ert in configs:
+        opts = dataclasses.replace(base_opts, enable_ess=ess, enable_ert=ert)
+        g = grid if ess else None
+        times = []
+        for i in range(len(poses)):
+            t0 = time.time()
+            out = render_image(params, jnp.asarray(poses[i]), jnp.asarray(K),
+                               jax.random.PRNGKey(i), H, W, opts, grid=g)
+            np.asarray(out["rgb_map"])  # honest sync
+            times.append(time.time() - t0)
+        mean_t = float(np.mean(times[1:])) if len(times) > 1 else times[0]
+        results[name] = mean_t
+        print(f"{name:>9}: {mean_t:.3f}s/frame  {H*W/mean_t:,.0f} rays/s  "
+              f"(per-frame: {', '.join(f'{t:.2f}' for t in times)})")
+
+    base_t = results["baseline"]
+    print("\nspeedup vs baseline:")
+    for name, t in results.items():
+        print(f"  {name:>9}: {base_t / t:.2f}x")
+
+    # ERT threshold sweep (reference :226-259)
+    print("\nERT threshold sweep:")
+    sweep = {}
+    for thr in (0.001, 0.01, 0.1):
+        opts = dataclasses.replace(base_opts, enable_ess=True, enable_ert=True,
+                                   ert_threshold=thr)
+        t0 = time.time()
+        out = render_image(params, jnp.asarray(poses[0]), jnp.asarray(K),
+                           jax.random.PRNGKey(0), H, W, opts, grid=grid)
+        np.asarray(out["rgb_map"])
+        dt = time.time() - t0
+        sweep[thr] = dt
+        print(f"  threshold {thr}: {dt:.3f}s")
+
+    with open("ess_ert_results.json", "w") as f:
+        json.dump({"frame_times": results, "occupancy_rate": occ_rate,
+                   "threshold_sweep": {str(k): v for k, v in sweep.items()},
+                   "H": H, "W": W}, f, indent=2)
+    print("\nresults written to ess_ert_results.json")
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1:])

@@ -136,6 +136,8 @@ class TestEndToEnd:
             n_samples=64, n_importance=64, perturb=0.0, raw_noise_std=0.0,
             enable_ess=False, enable_ert=False, compute_dtype="float32",
             use_pallas=False,
+            # the oracle implements the reference's NON-detached CDF
+            detach_fine_sampling=False,
         )
         return mc, mf, params, opts
 
