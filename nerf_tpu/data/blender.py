@@ -69,28 +69,48 @@ class BlenderDataset:
             stop = None if stop == -1 else stop
             frames = frames[start:stop:step]
 
-        images, poses = [], []
+        paths, poses = [], []
         for frame in frames:
             img_path = os.path.join(scene_path, frame["file_path"] + ".png")
             if not os.path.exists(img_path):
                 continue
-            img = _load_image(img_path)
-            if img.shape[-1] == 4:
-                if white_bkgd:
-                    rgb, alpha = img[..., :3], img[..., -1:]
-                    img = rgb * alpha + (1.0 - alpha)
-                else:
-                    img = img[..., :3]
-            else:
-                img = img[..., :3]
-            if img.shape[:2] != (H, W):
-                img = _resize(img, H, W)
-            images.append(img.astype(np.float32))
+            paths.append(img_path)
             poses.append(np.asarray(frame["transform_matrix"], dtype=np.float32))
 
-        self.images = (
-            np.stack(images) if images else np.zeros((0, H, W, 3), np.float32)
-        )
+        # fast path: native threaded decoder (nerf_tpu/native/loader.cpp).
+        # Pays off with >=4 cores; on tiny hosts the single-threaded python
+        # decoders are comparable, so skip the build there unless forced.
+        images_arr = None
+        use_native = os.environ.get("NERF_TPU_NATIVE_LOADER")
+        if use_native is None:
+            use_native = "1" if (os.cpu_count() or 1) >= 4 else "0"
+        if paths and use_native == "1":
+            try:
+                from ..native import load_images as native_load
+
+                images_arr = native_load(paths, H, W, white_bkgd)
+            except Exception:
+                images_arr = None
+        if images_arr is None:
+            images = []
+            for img_path in paths:
+                img = _load_image(img_path)
+                if img.shape[-1] == 4:
+                    if white_bkgd:
+                        rgb, alpha = img[..., :3], img[..., -1:]
+                        img = rgb * alpha + (1.0 - alpha)
+                    else:
+                        img = img[..., :3]
+                else:
+                    img = img[..., :3]
+                if img.shape[:2] != (H, W):
+                    img = _resize(img, H, W)
+                images.append(img.astype(np.float32))
+            images_arr = (
+                np.stack(images) if images else np.zeros((0, H, W, 3), np.float32)
+            )
+
+        self.images = images_arr
         self.poses = np.stack(poses) if poses else np.zeros((0, 4, 4), np.float32)
         self.K = np.array(
             [[self.focal, 0, W / 2], [0, self.focal, H / 2], [0, 0, 1]],
