@@ -1,0 +1,132 @@
+"""Multi-resolution hash-grid encoder (instant-NGP style), pure JAX.
+
+Parity targets in the reference:
+- pure-torch ``src/models/encoding/hashgrid.py:12-132`` (HashGrid): per-level
+  resolution N_l = floor(N_min * b**l), spatial hash with primes
+  [1, 19349663, 83492791] XOR-combined mod table size, trilinear
+  interpolation of 8 corner features, concat over levels.
+- CUDA ``src/models/encoding/hashencoder/`` (tcnn-style level geometry,
+  fp16 tables): direct (non-hashed) indexing when a level's dense grid fits
+  in the table, hashing otherwise (hashencoder.cu:36-76).
+
+TPU-native: the table is one [L, T, F] array; lookups are XLA gathers and
+gradients scatter-add into the table automatically. Gathers vectorize over
+(points x 8 corners x L levels).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861)  # instant-NGP hash primes
+
+
+def level_resolutions(
+    n_levels: int = 16,
+    base_resolution: int = 16,
+    per_level_scale: float = 1.3819,  # ~2^19 max at L=16 like tcnn defaults
+) -> np.ndarray:
+    return np.floor(
+        base_resolution * per_level_scale ** np.arange(n_levels)
+    ).astype(np.int32)
+
+
+def init_hashgrid(
+    key,
+    n_levels: int = 16,
+    n_features: int = 2,
+    log2_table_size: int = 19,
+    base_resolution: int = 16,
+    per_level_scale: float = 1.3819,
+    init_scale: float = 1e-4,
+) -> Dict:
+    """Returns {table: [L, T, F], meta...}; table init U(-1e-4, 1e-4)."""
+    T = 1 << log2_table_size
+    table = jax.random.uniform(
+        key, (n_levels, T, n_features), jnp.float32, -init_scale, init_scale
+    )
+    # only the trainable table lives in the param pytree; level geometry is
+    # derived statically from the config (level_resolutions) so optimizers
+    # never see integer leaves
+    return {"table": table}
+
+
+def _corner_index(corner: jnp.ndarray, res: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """corner: [..., 3] int32 grid coords; res: scalar level resolution.
+
+    Direct indexing when the dense level grid fits in the table, else the
+    instant-NGP XOR hash (hashencoder.cu:36-76 behavior).
+    """
+    dense = (res + 1) ** 3 <= table_size
+    # direct: x + y*(res+1) + z*(res+1)^2
+    stride = res + 1
+    direct_idx = (
+        corner[..., 0] + corner[..., 1] * stride + corner[..., 2] * stride * stride
+    )
+    # XOR hash in wrapping uint32 arithmetic (the primes exceed int32)
+    cu = corner.astype(jnp.uint32)
+    h = (
+        cu[..., 0] * jnp.uint32(_PRIMES[0])
+        ^ cu[..., 1] * jnp.uint32(_PRIMES[1])
+        ^ cu[..., 2] * jnp.uint32(_PRIMES[2])
+    )
+    hash_idx = (h % jnp.uint32(table_size)).astype(jnp.int32)
+    return jnp.where(dense, direct_idx % table_size, hash_idx)
+
+
+def hashgrid_encode(
+    params: Dict,
+    pts: jnp.ndarray,
+    resolutions=None,
+    bbox_min: float = -2.0,
+    bbox_max: float = 2.0,
+    base_resolution: int = 16,
+    per_level_scale: float = 1.3819,
+) -> jnp.ndarray:
+    """pts: [N, 3] -> features [N, L*F] via trilinear interpolation.
+
+    ``resolutions``: [L] per-level grid sizes; derived from
+    (base_resolution, per_level_scale) when not given.
+    """
+    table = params["table"]  # [L, T, F]
+    L, T, F = table.shape
+    if resolutions is None:
+        resolutions = level_resolutions(L, base_resolution, per_level_scale)
+    res = jnp.asarray(resolutions)  # [L]
+
+    x = (pts - bbox_min) / (bbox_max - bbox_min)
+    x = jnp.clip(x, 0.0, 1.0 - 1e-6)
+
+    # [L, N, 3] scaled coordinates
+    xl = x[None] * res[:, None, None].astype(x.dtype)
+    x0 = jnp.floor(xl)
+    frac = xl - x0
+    x0 = x0.astype(jnp.int32)
+
+    # 8 corners: offsets [8, 3]
+    offs = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.int32
+    )
+    corners = x0[:, :, None, :] + offs[None, None]  # [L, N, 8, 3]
+
+    idx = jax.vmap(lambda c, r: _corner_index(c, r, T))(corners, res)  # [L, N, 8]
+    feats = jnp.take_along_axis(
+        table[:, :, None, :].reshape(L, T, F),
+        idx.reshape(L, -1, 1),
+        axis=1,
+    ).reshape(L, *idx.shape[1:], F)  # [L, N, 8, F]
+
+    # trilinear weights per corner
+    w = jnp.where(offs[None, None] == 1, frac[:, :, None, :],
+                  1.0 - frac[:, :, None, :])  # [L, N, 8, 3]
+    w = jnp.prod(w, axis=-1, keepdims=True)  # [L, N, 8, 1]
+    out = jnp.sum(feats * w, axis=2)  # [L, N, F]
+    return jnp.moveaxis(out, 0, 1).reshape(x.shape[0], L * F)
+
+
+def hashgrid_out_dim(n_levels: int = 16, n_features: int = 2) -> int:
+    return n_levels * n_features

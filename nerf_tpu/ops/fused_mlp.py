@@ -220,6 +220,7 @@ def supports(opts) -> bool:
         and opts.mlp_width == 256
         and tuple(opts.skips) == (4,)
         and opts.use_viewdirs
+        and getattr(opts, "xyz_encoder_type", "frequency") == "frequency"
     )
 
 

@@ -49,6 +49,14 @@ class RenderOptions:
     enable_ess: bool = True
     xyz_freqs: int = 10
     dir_freqs: int = 4
+    # xyz encoder: "frequency" (reference default) or "hashgrid" (instant-
+    # NGP style multi-res hash, models/hashgrid.py)
+    xyz_encoder_type: str = "frequency"
+    hash_levels: int = 16
+    hash_features: int = 2
+    hash_log2_size: int = 19
+    hash_base_res: int = 16
+    hash_scale: float = 1.3819
     mlp_depth: int = 8
     mlp_width: int = 256
     skips: Tuple[int, ...] = (4,)
@@ -64,6 +72,8 @@ class RenderOptions:
 
     @property
     def input_ch(self) -> int:
+        if self.xyz_encoder_type == "hashgrid":
+            return self.hash_levels * self.hash_features
         return freq_out_dim(3, self.xyz_freqs)
 
     @property
@@ -73,7 +83,19 @@ class RenderOptions:
     @classmethod
     def from_cfg(cls, cfg) -> "RenderOptions":
         ta = cfg.task_arg
+        xyz_enc = cfg.network.xyz_encoder
+        hash_kwargs = {}
+        if xyz_enc.get("type", "frequency") in ("hashgrid", "grid_hash"):
+            hash_kwargs = dict(
+                xyz_encoder_type="hashgrid",
+                hash_levels=int(xyz_enc.get("n_levels", 16)),
+                hash_features=int(xyz_enc.get("n_features", 2)),
+                hash_log2_size=int(xyz_enc.get("log2_hashmap_size", 19)),
+                hash_base_res=int(xyz_enc.get("base_resolution", 16)),
+                hash_scale=float(xyz_enc.get("per_level_scale", 1.3819)),
+            )
         return cls(
+            **hash_kwargs,
             n_samples=int(ta.N_samples),
             n_importance=int(ta.N_importance),
             near=float(cfg.get("near", 2.0)),
@@ -86,7 +108,7 @@ class RenderOptions:
             enable_ert=bool(cfg.get("enable_ert", True)),
             ert_threshold=float(cfg.get("ert_threshold", 0.01)),
             enable_ess=bool(cfg.get("enable_ess", True)),
-            xyz_freqs=int(cfg.network.xyz_encoder.freq),
+            xyz_freqs=int(xyz_enc.get("freq", 10)),
             dir_freqs=int(cfg.network.dir_encoder.freq),
             mlp_depth=int(cfg.network.nerf.D),
             mlp_width=int(cfg.network.nerf.W),
@@ -110,7 +132,17 @@ def query_network_xla(
     the chunking — XLA tiles the matmuls itself.)
     """
     n, s, _ = pts.shape
-    emb = freq_encode(pts.reshape(-1, 3), opts.xyz_freqs)
+    if opts.xyz_encoder_type == "hashgrid":
+        from ..models.hashgrid import hashgrid_encode
+
+        emb = hashgrid_encode(
+            params["xyz_encoder"], pts.reshape(-1, 3),
+            base_resolution=opts.hash_base_res,
+            per_level_scale=opts.hash_scale,
+            bbox_min=-2.0, bbox_max=2.0,
+        )
+    else:
+        emb = freq_encode(pts.reshape(-1, 3), opts.xyz_freqs)
     if opts.use_viewdirs and viewdirs is not None:
         dirs = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3)).reshape(-1, 3)
         emb = jnp.concatenate([emb, freq_encode(dirs, opts.dir_freqs)], axis=-1)

@@ -36,7 +36,29 @@ def init_nerf_params(key, opts: RenderOptions):
         input_ch=opts.input_ch, input_ch_views=opts.input_ch_views,
         skips=opts.skips, use_viewdirs=opts.use_viewdirs,
     )
-    return {"coarse": init_nerf_mlp(kc, **kwargs), "fine": init_nerf_mlp(kf, **kwargs)}
+    params = {
+        "coarse": init_nerf_mlp(kc, **kwargs),
+        "fine": init_nerf_mlp(kf, **kwargs),
+    }
+    if opts.xyz_encoder_type == "hashgrid":
+        from ..models.hashgrid import init_hashgrid
+
+        kc2, kf2 = jax.random.split(jax.random.fold_in(key, 1))
+        hash_kwargs = dict(
+            n_levels=opts.hash_levels, n_features=opts.hash_features,
+            log2_table_size=opts.hash_log2_size,
+            base_resolution=opts.hash_base_res,
+            per_level_scale=opts.hash_scale,
+        )
+        params["coarse"]["xyz_encoder"] = init_hashgrid(kc2, **hash_kwargs)
+        params["fine"]["xyz_encoder"] = init_hashgrid(kf2, **hash_kwargs)
+        # hash features start ~1e-4, so sigma_raw is ~ the alpha bias for
+        # every point; a negative bias makes relu(sigma) identically dead
+        # (zero gradient everywhere). Start slightly positive.
+        for m in ("coarse", "fine"):
+            b = params[m]["alpha_linear"]["b"]
+            params[m]["alpha_linear"]["b"] = jnp.full_like(b, 0.1)
+    return params
 
 
 def make_density_fn(params, opts: RenderOptions):
