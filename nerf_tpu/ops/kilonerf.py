@@ -1,0 +1,227 @@
+"""KiloNeRF many-small-MLPs mode: voxel-routed tiny networks, TPU-native.
+
+The reference implements this as a CUDA pipeline (SURVEY.md §3.4):
+``generate_query_indices_on_ray`` -> ``sort_by_key(network_id)`` ->
+``global_to_local`` -> fused smem MLP (``network_eval.cu:25-254``, hidden 32,
+one thread block per tiny network) or MAGMA grouped sgemm
+(``multimatmul.cu:244-361``) -> ``scatter`` back -> ``integrate``.
+
+TPU-native re-design (MoE-shaped, static shapes):
+- a g^3 voxel grid of tiny networks over the scene bbox; each point's
+  network id is its voxel (the routing of reorder.cu);
+- capacity-based dispatch: every network gets a fixed-capacity slot buffer
+  [G, C, in]; points are scattered in by (id, rank-within-id), overflow
+  points fall back to zero output (empty space) — the static-shape analog
+  of the sort+gather grouping;
+- the tiny MLPs run as ONE batched einsum per layer ([G,C,in] x [G,in,out])
+  on the MXU — the analog of MAGMA's vbatched sgemm;
+- results scatter back to ray order (scatter_int32_float4 analog).
+
+Architecture per network (network_eval.cu:114-241): fourier(pos_local, 10)
+-> h(32) -> h(32) -> [sigma(1) | feat(32)] -> concat(feat, fourier(dir, 4))
+-> h(32) -> rgb(3). Positions are mapped to the network's local [-1,1] cube
+first (global_to_local.cu:8-29).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.encoders import freq_encode, freq_out_dim
+from ..models.nerf_mlp import _linear_init
+
+
+class KiloConfig(NamedTuple):
+    grid_size: int = 16          # g -> G = g^3 networks
+    hidden: int = 32
+    xyz_freqs: int = 10          # on LOCAL coords
+    dir_freqs: int = 4
+    bbox_min: float = -2.0
+    bbox_max: float = 2.0
+    capacity_factor: float = 2.0
+
+
+def n_networks(cfg: KiloConfig) -> int:
+    return cfg.grid_size ** 3
+
+
+def init_kilonerf(key, cfg: KiloConfig) -> Dict:
+    G = n_networks(cfg)
+    h = cfg.hidden
+    in_pos = freq_out_dim(3, cfg.xyz_freqs)   # 63
+    in_dir = freq_out_dim(3, cfg.dir_freqs)   # 27
+    keys = jax.random.split(key, 5 * G).reshape(5, G, 2)
+
+    def batch_init(ks, fan_in, fan_out):
+        ws, bs = [], []
+        for g in range(ks.shape[0]):
+            p = _linear_init(ks[g], fan_in, fan_out)
+            ws.append(p["w"])
+            bs.append(p["b"])
+        return {"w": jnp.stack(ws), "b": jnp.stack(bs)}
+
+    return {
+        "l1": batch_init(keys[0], in_pos, h),
+        "l2": batch_init(keys[1], h, h),
+        "l3": batch_init(keys[2], h, h + 1),          # [feat | sigma]
+        "l4": batch_init(keys[3], h + in_dir, h),
+        "l5": batch_init(keys[4], h, 3),
+    }
+
+
+def assign_networks(pts: jnp.ndarray, cfg: KiloConfig) -> jnp.ndarray:
+    """pts [P,3] -> network ids [P] (voxel index, x-major)."""
+    g = cfg.grid_size
+    x = (pts - cfg.bbox_min) / (cfg.bbox_max - cfg.bbox_min)
+    v = jnp.clip((x * g).astype(jnp.int32), 0, g - 1)
+    return v[..., 0] * g * g + v[..., 1] * g + v[..., 2]
+
+
+def global_to_local(pts: jnp.ndarray, ids: jnp.ndarray, cfg: KiloConfig) -> jnp.ndarray:
+    """Affine map into each network's [-1,1]^3 cube (global_to_local.cu)."""
+    g = cfg.grid_size
+    cell = (cfg.bbox_max - cfg.bbox_min) / g
+    vx = ids // (g * g)
+    vy = (ids // g) % g
+    vz = ids % g
+    corner = cfg.bbox_min + jnp.stack([vx, vy, vz], -1).astype(pts.dtype) * cell
+    return (pts - corner) / cell * 2.0 - 1.0
+
+
+def _dispatch(ids: jnp.ndarray, G: int, capacity: int):
+    """MoE-style capacity dispatch.
+
+    Returns (slot [P] in [0, capacity) or -1 when dropped,
+             gather_idx [G, C] point index per slot (0 for empty),
+             slot_valid [G, C]).
+    """
+    P = ids.shape[0]
+    # rank of each point within its network id (stable order)
+    order = jnp.argsort(ids)                      # sorted point indices
+    sorted_ids = ids[order]
+    start = jnp.searchsorted(sorted_ids, jnp.arange(G))  # [G] first pos of id
+    pos = jnp.arange(P) - start[sorted_ids]       # rank within group (sorted)
+    rank = jnp.zeros_like(pos).at[order].set(pos)  # back to original order
+
+    slot = jnp.where(rank < capacity, rank, -1)
+
+    # gather index: for (g, c) -> point index. Dropped points scatter to an
+    # OUT-OF-BOUNDS index (mode="drop" only ignores out-of-bounds targets —
+    # an in-bounds sentinel would clobber a real slot).
+    valid_src = slot >= 0
+    oob = G * capacity
+    flat = jnp.where(valid_src, ids * capacity + slot, oob)
+    gather_idx = jnp.zeros((G * capacity,), jnp.int32)
+    gather_idx = gather_idx.at[flat].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop"
+    )
+    slot_valid = jnp.zeros((G * capacity,), bool)
+    slot_valid = slot_valid.at[flat].set(True, mode="drop")
+    return slot, gather_idx.reshape(G, capacity), slot_valid.reshape(G, capacity)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity"))
+def kilonerf_eval(
+    params: Dict,
+    pts: jnp.ndarray,
+    dirs: jnp.ndarray,
+    cfg: KiloConfig = KiloConfig(),
+    capacity: int = 0,
+) -> jnp.ndarray:
+    """pts, dirs: [P, 3] -> raw [P, 4] (rgb_raw, sigma_raw).
+
+    Points whose network slot buffer overflows return zeros (treated as
+    empty space); size ``capacity`` with cfg.capacity_factor headroom.
+    """
+    P = pts.shape[0]
+    G = n_networks(cfg)
+    if capacity <= 0:
+        capacity = max(8, int(cfg.capacity_factor * P / G))
+
+    ids = assign_networks(pts, cfg)
+    local = global_to_local(pts, ids, cfg)
+    slot, gather_idx, slot_valid = _dispatch(ids, G, capacity)
+
+    # gather into [G, C, ...]
+    xg = local[gather_idx.reshape(-1)].reshape(G, capacity, 3)
+    dg = dirs[gather_idx.reshape(-1)].reshape(G, capacity, 3)
+
+    emb_x = freq_encode(xg, cfg.xyz_freqs)   # [G, C, 63]
+    emb_d = freq_encode(dg, cfg.dir_freqs)   # [G, C, 27]
+
+    def bmm(x, layer):
+        return (
+            jnp.einsum("gci,gio->gco", x, layer["w"],
+                       preferred_element_type=jnp.float32)
+            + layer["b"][:, None, :]
+        )
+
+    h = jax.nn.relu(bmm(emb_x, params["l1"]))
+    h = jax.nn.relu(bmm(h, params["l2"]))
+    out3 = bmm(h, params["l3"])              # [G, C, hidden+1]
+    feat, sigma = out3[..., :-1], out3[..., -1:]
+    h = jax.nn.relu(bmm(jnp.concatenate([feat, emb_d], -1), params["l4"]))
+    rgb = bmm(h, params["l5"])               # [G, C, 3]
+
+    raw_slots = jnp.concatenate([rgb, sigma], -1)  # [G, C, 4]
+    raw_slots = jnp.where(slot_valid[..., None], raw_slots, 0.0)
+
+    # scatter back to point order (reference scatter_int32_float4); empty
+    # slots target an out-of-bounds index so they can't clobber point 0
+    out = jnp.zeros((P, 4), raw_slots.dtype)
+    flat_idx = jnp.where(slot_valid.reshape(-1), gather_idx.reshape(-1), P)
+    out = out.at[flat_idx].set(raw_slots.reshape(-1, 4), mode="drop")
+    # dropped points (slot == -1) stay zero: sigma_raw 0 -> alpha 0
+    return jnp.where((slot >= 0)[:, None], out, 0.0)
+
+
+def query_network_kilonerf(params, pts, viewdirs, opts, cfg: KiloConfig = None):
+    """Renderer query-path adapter: pts [N,S,3], viewdirs [N,3] -> [N,S,4]."""
+    if cfg is None:
+        cfg = KiloConfig()
+    n, s, _ = pts.shape
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3)).reshape(-1, 3)
+    raw = kilonerf_eval(params, pts.reshape(-1, 3), dirs, cfg)
+    return raw.reshape(n, s, 4)
+
+
+@partial(jax.jit,
+         static_argnames=("teacher_query_fn", "tx_update", "cfg", "n_pts"),
+         donate_argnames=("params", "opt_state"))
+def distill_step(
+    params: Dict,
+    opt_state,
+    key,
+    teacher_query_fn,
+    tx_update,
+    cfg: KiloConfig,
+    n_pts: int = 65536,
+):
+    """One KiloNeRF distillation step: match the teacher's activated outputs
+    (sigmoid rgb, relu sigma) at uniform random (point, direction) samples —
+    the reference/KiloNeRF training recipe for the many-small-MLPs model."""
+    import optax
+
+    k1, k2 = jax.random.split(key)
+    pts = jax.random.uniform(k1, (n_pts, 3), jnp.float32,
+                             cfg.bbox_min, cfg.bbox_max)
+    dirs = jax.random.normal(k2, (n_pts, 3), jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    t_raw = teacher_query_fn(pts[:, None, :], dirs)[:, 0, :]
+    t_rgb = jax.nn.sigmoid(t_raw[..., :3])
+    t_sigma = jax.nn.relu(t_raw[..., 3])
+
+    def loss_fn(p):
+        raw = kilonerf_eval(p, pts, dirs, cfg)
+        rgb = jax.nn.sigmoid(raw[..., :3])
+        sigma = jax.nn.relu(raw[..., 3])
+        return jnp.mean((rgb - t_rgb) ** 2) + jnp.mean((sigma - t_sigma) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx_update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
