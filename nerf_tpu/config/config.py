@@ -92,7 +92,18 @@ class Config(dict):
 
 
 def _coerce(value: str):
-    """Parse a CLI override string into a python value (yaml rules)."""
+    """Parse a CLI override string into a python value.
+
+    Numeric first (YAML 1.1 treats "1e-3" as a string), then yaml rules for
+    bools/lists/dicts/null."""
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        pass
     try:
         return yaml.safe_load(value)
     except yaml.YAMLError:
