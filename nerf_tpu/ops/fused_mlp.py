@@ -212,6 +212,50 @@ def fused_nerf_eval(
     return out[:P]
 
 
+def _xla_reference(params, pts, dirs, opts):
+    """The same math on the XLA path (used as the recompute backward)."""
+    from ..models.encoders import freq_encode
+    from ..models.nerf_mlp import apply_nerf_mlp
+
+    emb = jnp.concatenate(
+        [freq_encode(pts, opts.xyz_freqs), freq_encode(dirs, opts.dir_freqs)],
+        axis=-1,
+    )
+    return apply_nerf_mlp(
+        params, emb, input_ch=opts.input_ch, skips=opts.skips,
+        use_viewdirs=opts.use_viewdirs,
+        compute_dtype=jnp.dtype(opts.compute_dtype),
+    )
+
+
+# test hook: force interpret-mode pallas (CPU) inside the diff wrapper
+INTERPRET = False
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_nerf_eval_diff(params, pts, dirs, opts):
+    """Differentiable fused evaluation: Pallas kernel forward, recompute
+    XLA backward (identical math; custom Pallas backward is a future
+    optimization). params is the standard MLP pytree."""
+    kparams = repack_params(params, opts.xyz_freqs, opts.dir_freqs,
+                            weight_dtype=jnp.dtype(opts.compute_dtype))
+    return fused_nerf_eval(kparams, pts, dirs, interpret=INTERPRET)
+
+
+def _diff_fwd(params, pts, dirs, opts):
+    return fused_nerf_eval_diff(params, pts, dirs, opts), (params, pts, dirs)
+
+
+def _diff_bwd(opts, res, g):
+    params, pts, dirs = res
+    _, vjp = jax.vjp(lambda p, x, d: _xla_reference(p, x, d, opts),
+                     params, pts, dirs)
+    return vjp(g)
+
+
+fused_nerf_eval_diff.defvjp(_diff_fwd, _diff_bwd)
+
+
 def supports(opts) -> bool:
     """The fused kernel covers the reference architecture (8x256, skip after
     layer 4, viewdir head). Anything else falls back to the XLA path."""
@@ -232,10 +276,11 @@ def query_network_pallas(params, pts, viewdirs, opts):
 
         return query_network_xla(params, pts, viewdirs, opts)
     n, s, _ = pts.shape
-    kparams = repack_params(params, opts.xyz_freqs, opts.dir_freqs)
     dirs = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3))
-    raw = fused_nerf_eval(
-        kparams, pts.reshape(-1, 3).astype(jnp.float32),
+    raw = fused_nerf_eval_diff(
+        params,
+        pts.reshape(-1, 3).astype(jnp.float32),
         dirs.reshape(-1, 3).astype(jnp.float32),
+        opts,
     )
     return raw.reshape(n, s, 4)

@@ -44,3 +44,35 @@ def test_supports_gate():
     assert supports(RenderOptions())
     assert not supports(RenderOptions(mlp_width=128))
     assert not supports(RenderOptions(skips=(2,)))
+
+
+def test_diff_wrapper_grads_match_xla(monkeypatch):
+    """custom VJP: pallas forward (interpret), recompute-XLA backward."""
+    from nerf_tpu.ops import fused_mlp
+
+    monkeypatch.setattr(fused_mlp, "INTERPRET", True)
+    opts = RenderOptions(compute_dtype="float32", use_pallas=True)
+    params = init_nerf_mlp(jax.random.PRNGKey(3), input_ch=63,
+                           input_ch_views=27)
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray(rng.randn(128, 3).astype(np.float32))
+    dirs = jnp.asarray(rng.randn(128, 3).astype(np.float32))
+    g_out = jnp.asarray(rng.randn(128, 4).astype(np.float32))
+
+    def loss_fused(p):
+        return jnp.sum(fused_mlp.fused_nerf_eval_diff(p, pts, dirs, opts) * g_out)
+
+    def loss_xla(p):
+        return jnp.sum(fused_mlp._xla_reference(p, pts, dirs, opts) * g_out)
+
+    vf, gf = jax.value_and_grad(loss_fused)(params)
+    vx, gx = jax.value_and_grad(loss_xla)(params)
+    assert abs(float(vf) - float(vx)) < 1e-2
+    np.testing.assert_allclose(
+        np.asarray(gf["rgb_linear"]["w"]), np.asarray(gx["rgb_linear"]["w"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gf["pts_linears"][0]["w"]),
+        np.asarray(gx["pts_linears"][0]["w"]), atol=1e-5,
+    )
