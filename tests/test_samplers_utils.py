@@ -1,0 +1,62 @@
+"""Samplers + utility function tests."""
+import numpy as np
+
+from nerf_tpu.data.samplers import (
+    DistributedEpochSampler, IterationBasedSampler, epoch_shuffled_indices,
+    shard_indices,
+)
+from nerf_tpu.utils.img_utils import colorize_depth, horizon_concat, to8b
+from nerf_tpu.utils.ray_utils import get_near_far
+
+
+def test_epoch_shuffle_deterministic():
+    a = epoch_shuffled_indices(100, epoch=3)
+    b = epoch_shuffled_indices(100, epoch=3)
+    c = epoch_shuffled_indices(100, epoch=4)
+    assert (a == b).all() and not (a == c).all()
+    assert sorted(a) == list(range(100))
+
+
+def test_shards_cover_all():
+    idx = epoch_shuffled_indices(10, 0)
+    shards = [shard_indices(idx, r, 4) for r in range(4)]
+    assert all(len(s) == 3 for s in shards)  # 10 -> padded 12 -> 3 each
+    covered = set(np.concatenate(shards).tolist())
+    assert covered == set(range(10))
+
+
+def test_distributed_sampler_disjoint_between_ranks():
+    s0 = DistributedEpochSampler(8, rank=0, world_size=2)
+    s1 = DistributedEpochSampler(8, rank=1, world_size=2)
+    s0.set_epoch(5)
+    s1.set_epoch(5)
+    i0, i1 = list(s0), list(s1)
+    assert len(i0) == len(i1) == 4
+    assert set(i0) | set(i1) == set(range(8))
+    assert not set(i0) & set(i1)
+
+
+def test_iteration_based_sampler():
+    base = DistributedEpochSampler(4, shuffle=False)
+    it = IterationBasedSampler(base, num_iterations=10)
+    out = list(it)
+    assert len(out) == 10
+    assert out[:4] == [0, 1, 2, 3]
+
+
+def test_get_near_far():
+    rays_o = np.array([[0.0, 0.0, 5.0], [10.0, 0.0, 5.0]])
+    rays_d = np.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    near, far, hit = get_near_far(rays_o, rays_d, [-2, -2, -2], [2, 2, 2])
+    assert hit[0] and not hit[1]
+    assert abs(near[0] - 3.0) < 1e-6 and abs(far[0] - 7.0) < 1e-6
+
+
+def test_image_utils():
+    a = np.zeros((4, 6, 3))
+    b = np.ones((8, 2, 3))
+    out = horizon_concat([a, b])
+    assert out.shape == (8, 8, 3)
+    assert to8b(np.array([0.0, 0.5, 2.0])).tolist() == [0, 127, 255]
+    d = colorize_depth(np.random.rand(5, 5))
+    assert d.shape == (5, 5, 3) and d.min() >= 0 and d.max() <= 1
