@@ -47,6 +47,11 @@ class RenderOptions:
     enable_ert: bool = True
     ert_threshold: float = 0.01
     enable_ess: bool = True
+    # ESS masked compaction: evaluate the network only for samples whose
+    # voxel is occupied, gathered into a static-capacity buffer (fraction of
+    # total points). 0 = off. Occupied samples beyond capacity fall back to
+    # empty (sigma=0), so keep headroom above the scene's occupancy rate.
+    ess_compaction: float = 0.0
     xyz_freqs: int = 10
     dir_freqs: int = 4
     # xyz encoder: "frequency" (reference default) or "hashgrid" (instant-
@@ -170,6 +175,52 @@ def get_query_fn(opts: RenderOptions) -> Callable:
     return query_network_xla
 
 
+def query_with_compaction(
+    query_fn: Callable,
+    params: Any,
+    pts: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    opts: RenderOptions,
+    grid: occ.OccupancyGrid,
+) -> jnp.ndarray:
+    """ESS masked compaction (the TPU analog of the reference's compacted
+    DDA query generation, generate_inputs.cu:60-193): gather samples in
+    occupied voxels into a fixed-capacity buffer via cumsum indexing, run
+    the network only on those, scatter back. Empty / over-capacity samples
+    return raw 0 (=> alpha 0). Static shapes throughout.
+    """
+    n, s, _ = pts.shape
+    P = n * s
+    cap = int(P * opts.ess_compaction)
+    cap = max(256, ((cap + 255) // 256) * 256)
+    if cap >= P:
+        return query_fn(params, pts, viewdirs, opts)
+
+    flat_pts = pts.reshape(P, 3)
+    occ_mask = occ.query(grid, flat_pts)  # [P]
+    # stable compaction index: occupied point i -> slot cumsum(occ)[i]-1
+    slot = jnp.cumsum(occ_mask.astype(jnp.int32)) - 1
+    target = jnp.where(occ_mask & (slot < cap), slot, cap)  # cap = OOB drop
+    gather_idx = jnp.zeros((cap,), jnp.int32).at[target].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop"
+    )
+
+    pts_c = flat_pts[gather_idx]  # [cap, 3]
+    if viewdirs is not None:
+        dirs_flat = jnp.broadcast_to(
+            viewdirs[:, None, :], (n, s, 3)).reshape(P, 3)
+        dirs_c = dirs_flat[gather_idx][:, None, :]  # [cap, 1, 3] -> viewdirs arg
+        raw_c = query_fn(params, pts_c[:, None, :], dirs_c[:, 0, :], opts)
+    else:
+        raw_c = query_fn(params, pts_c[:, None, :], None, opts)
+    raw_c = raw_c.reshape(cap, 4)
+
+    # un-compact: point i (occupied, in capacity) reads raw_c[slot[i]]
+    keep = (occ_mask & (slot < cap))[:, None]
+    raw = jnp.where(keep, raw_c[jnp.clip(slot, 0, cap - 1)], 0.0)
+    return raw.reshape(n, s, 4)
+
+
 def render_rays(
     params: Dict[str, Any],
     rays_o: jnp.ndarray,
@@ -206,8 +257,15 @@ def render_rays(
         )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., None]
 
-    # 2. coarse network query + compositing
-    raw = query_fn(params["coarse"], pts, viewdirs, opts)
+    # 2. coarse network query + compositing (optionally ESS-compacted)
+    use_compaction = (
+        opts.enable_ess and grid is not None and opts.ess_compaction > 0.0
+    )
+    if use_compaction:
+        raw = query_with_compaction(
+            query_fn, params["coarse"], pts, viewdirs, opts, grid)
+    else:
+        raw = query_fn(params["coarse"], pts, viewdirs, opts)
     ert = opts.ert_threshold if opts.enable_ert else None
     out_c = composite(
         raw, z_vals, rays_d,
@@ -234,7 +292,11 @@ def render_rays(
         )
         z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
         pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., None]
-        raw_f = query_fn(params["fine"], pts_f, viewdirs, opts)
+        if use_compaction:
+            raw_f = query_with_compaction(
+                query_fn, params["fine"], pts_f, viewdirs, opts, grid)
+        else:
+            raw_f = query_fn(params["fine"], pts_f, viewdirs, opts)
         out_f = composite(
             raw_f, z_all, rays_d,
             raw_noise_std=opts.raw_noise_std, noise_key=k_noise_f,

@@ -1,0 +1,89 @@
+"""ESS masked compaction: exactness vs uncompacted when capacity suffices."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.render import occupancy as occ
+from nerf_tpu.render.renderer import (
+    RenderOptions, query_network_xla, query_with_compaction, render_rays,
+)
+from nerf_tpu.train.loop import init_nerf_params
+
+
+def _setup():
+    opts = RenderOptions(
+        n_samples=16, n_importance=16, compute_dtype="float32",
+        enable_ess=True, enable_ert=False, use_pallas=False, perturb=0.0,
+        ess_compaction=0.5,
+    )
+    params = init_nerf_params(jax.random.PRNGKey(0), opts)
+    # half-space occupancy: x < 0 occupied
+    res = 32
+    coords = np.linspace(-2, 2, res)
+    occ_grid = np.zeros((res, res, res), bool)
+    occ_grid[coords < 0] = True
+    grid = occ.OccupancyGrid(
+        occupied=jnp.asarray(occ_grid),
+        bbox_min=jnp.full((3,), -2.0), bbox_max=jnp.full((3,), 2.0),
+    )
+    return opts, params, grid
+
+
+def test_compacted_query_exact_where_occupied():
+    opts, params, grid = _setup()
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(-2, 2, (64, 16, 3)).astype(np.float32))
+    dirs_ = rng.randn(64, 3).astype(np.float32)
+    dirs_ /= np.linalg.norm(dirs_, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs_)
+
+    full = np.asarray(query_network_xla(params["coarse"], pts, dirs, opts))
+    comp = np.asarray(query_with_compaction(
+        query_network_xla, params["coarse"], pts, dirs, opts, grid))
+
+    mask = np.asarray(occ.query(grid, pts))
+    # ~50% of 1024 points occupied; capacity = 512 -> some headroom, all
+    # occupied samples evaluated exactly
+    assert mask.sum() <= 512
+    np.testing.assert_allclose(comp[mask], full[mask], atol=1e-6)
+    # empty samples: raw zero
+    assert (comp[~mask] == 0).all()
+
+
+def test_render_rays_with_compaction_close_to_full():
+    opts, params, grid = _setup()
+    rng = np.random.RandomState(1)
+    rays_o = jnp.asarray(np.zeros((32, 3), np.float32))
+    d = rng.randn(32, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(d)
+
+    out_c = render_rays(params, rays_o, rays_d, jax.random.PRNGKey(0), opts,
+                        grid=grid)
+    # same but compaction off AND network zeroed in empty space manually:
+    import dataclasses
+
+    opts_off = dataclasses.replace(opts, ess_compaction=0.0)
+    out_f = render_rays(params, rays_o, rays_d, jax.random.PRNGKey(0),
+                        opts_off, grid=grid)
+    # rgb close: empty-space sigma contributes ~0 alpha either way, but the
+    # full render's empty samples have nonzero density from the random MLP;
+    # so only check shapes/finiteness here plus exactness via the query test
+    assert np.isfinite(np.asarray(out_c["rgb_map"])).all()
+    assert out_c["rgb_map"].shape == out_f["rgb_map"].shape
+
+
+def test_compaction_gradients():
+    opts, params, grid = _setup()
+    rng = np.random.RandomState(2)
+    pts = jnp.asarray(rng.uniform(-2, 2, (16, 16, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.randn(16, 3).astype(np.float32))
+
+    def loss(p):
+        raw = query_with_compaction(query_network_xla, p, pts, dirs, opts,
+                                    grid)
+        return jnp.sum(raw ** 2)
+
+    g = jax.grad(loss)(params["coarse"])
+    gw = np.asarray(g["pts_linears"][0]["w"])
+    assert np.isfinite(gw).all() and (gw != 0).any()
