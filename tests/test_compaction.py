@@ -10,11 +10,11 @@ from nerf_tpu.render.renderer import (
 from nerf_tpu.train.loop import init_nerf_params
 
 
-def _setup():
+def _setup(frac=0.75):
     opts = RenderOptions(
         n_samples=16, n_importance=16, compute_dtype="float32",
         enable_ess=True, enable_ert=False, use_pallas=False, perturb=0.0,
-        ess_compaction=0.5,
+        ess_compaction=frac,
     )
     params = init_nerf_params(jax.random.PRNGKey(0), opts)
     # half-space occupancy: x < 0 occupied
@@ -42,9 +42,9 @@ def test_compacted_query_exact_where_occupied():
         query_network_xla, params["coarse"], pts, dirs, opts, grid))
 
     mask = np.asarray(occ.query(grid, pts))
-    # ~50% of 1024 points occupied; capacity = 512 -> some headroom, all
+    # ~50% of 1024 points occupied; capacity 0.75*1024=768 -> headroom, all
     # occupied samples evaluated exactly
-    assert mask.sum() <= 512
+    assert mask.sum() <= 768
     np.testing.assert_allclose(comp[mask], full[mask], atol=1e-6)
     # empty samples: raw zero
     assert (comp[~mask] == 0).all()
