@@ -21,9 +21,11 @@ def to8b(x: np.ndarray) -> np.ndarray:
 
 
 class Evaluator:
-    def __init__(self, result_dir: str, save_images: bool = True):
+    def __init__(self, result_dir: str, save_images: bool = True,
+                 background_strategy: str = "none"):
         self.result_dir = result_dir
         self.save_images = save_images
+        self.background_strategy = background_strategy
         self.reset()
 
     def reset(self):
@@ -36,6 +38,10 @@ class Evaluator:
         """pred/gt: [H, W, 3] float in [0,1]."""
         pred = np.clip(np.asarray(pred_rgb, np.float32), 0, 1)
         gt = np.clip(np.asarray(gt_rgb, np.float32), 0, 1)
+        if self.background_strategy != "none":
+            from .background import convert_background
+
+            gt = convert_background(gt, self.background_strategy)
         m = mse_fn(pred, gt)
         p = psnr_fn(pred, gt)
         s = ssim_fn(pred, gt, win_size=min(7, min(pred.shape[0], pred.shape[1])))

@@ -99,7 +99,10 @@ def run_evaluate(cfg):
         )
 
     ds = make_dataset(cfg, "test")
-    evaluator = Evaluator(cfg.result_dir)
+    evaluator = Evaluator(
+        cfg.result_dir,
+        background_strategy=cfg.get("background_strategy", "none"),
+    )
     K = jnp.asarray(ds.K)
     net_times = []
     for i in range(len(ds)):
