@@ -246,8 +246,23 @@ def _diff_fwd(params, pts, dirs, opts):
     return fused_nerf_eval_diff(params, pts, dirs, opts), (params, pts, dirs)
 
 
+# backward implementation switch: "pallas" (hand-written fused backward,
+# ops/fused_mlp_bwd.py) or "xla" (recompute via jax.vjp of the same math)
+BACKWARD = "pallas"
+
+
 def _diff_bwd(opts, res, g):
     params, pts, dirs = res
+    if BACKWARD == "pallas":
+        from .fused_mlp_bwd import fused_nerf_bwd, kgrads_to_param_grads
+
+        kparams = repack_params(params, opts.xyz_freqs, opts.dir_freqs,
+                                weight_dtype=jnp.dtype(opts.compute_dtype))
+        kgrads, dpts, ddirs = fused_nerf_bwd(
+            kparams, pts, dirs, g.astype(jnp.float32), interpret=INTERPRET)
+        dparams = kgrads_to_param_grads(kgrads, params, opts.xyz_freqs,
+                                        opts.dir_freqs)
+        return dparams, dpts, ddirs
     _, vjp = jax.vjp(lambda p, x, d: _xla_reference(p, x, d, opts),
                      params, pts, dirs)
     return vjp(g)
