@@ -33,24 +33,24 @@ def init_deformation(
     head = _linear_init(keys[D], W, 3)
     # zero-init the head so deformation starts as identity
     head = {"w": jnp.zeros_like(head["w"]), "b": jnp.zeros_like(head["b"])}
-    return {"layers": layers, "head": head,
-            "meta": {"xyz_freqs": xyz_freqs, "time_freqs": time_freqs}}
+    return {"layers": layers, "head": head}
 
 
 def apply_deformation(
-    params: Dict[str, Any], pts: jnp.ndarray, t: jnp.ndarray
+    params: Dict[str, Any], pts: jnp.ndarray, t: jnp.ndarray,
+    xyz_freqs: int = 10, time_freqs: int = 4,
 ) -> jnp.ndarray:
     """pts: [N, 3], t: scalar or [N] in [0,1] -> deformed pts [N, 3].
 
     t=0 is the canonical frame (deformation forced to zero), matching the
-    D-NeRF convention.
+    D-NeRF convention. Freq counts are static args (kept out of the param
+    pytree so optimizers/grads never see integers).
     """
-    meta = params["meta"]
     t = jnp.broadcast_to(jnp.asarray(t, pts.dtype).reshape(-1, 1),
                          (pts.shape[0], 1))
     h = jnp.concatenate(
-        [freq_encode(pts, meta["xyz_freqs"]),
-         freq_encode(t, meta["time_freqs"])], axis=-1)
+        [freq_encode(pts, xyz_freqs),
+         freq_encode(t, time_freqs)], axis=-1)
     for layer in params["layers"]:
         h = jax.nn.relu(h @ layer["w"] + layer["b"])
     dx = h @ params["head"]["w"] + params["head"]["b"]
@@ -61,11 +61,13 @@ def apply_deformation(
 def deformed_encoder(
     deform_params: Dict[str, Any],
     spatial_encode: Callable[[jnp.ndarray], jnp.ndarray],
+    xyz_freqs: int = 10, time_freqs: int = 4,
 ):
     """Compose deformation with any spatial encoder: f(x, t) =
     spatial_encode(x + Δ(x, t)) — the dnerf_ngp_* pattern."""
 
     def encode(pts: jnp.ndarray, t) -> jnp.ndarray:
-        return spatial_encode(apply_deformation(deform_params, pts, t))
+        return spatial_encode(
+            apply_deformation(deform_params, pts, t, xyz_freqs, time_freqs))
 
     return encode

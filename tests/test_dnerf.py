@@ -34,5 +34,7 @@ def test_composed_encoder_and_grads():
         return jnp.sum(deformed_encoder(q, lambda x: freq_encode(x, 4))(pts, 0.5) ** 2)
 
     g = jax.grad(loss)(p)
-    gw = np.asarray(g["layers"][0]["w"])
-    assert np.isfinite(gw).all() and (gw != 0).any()
+    # with the identity-init (zero) head, hidden-layer grads are zero until
+    # the head moves — head grads must be live immediately
+    gh = np.asarray(g["head"]["w"])
+    assert np.isfinite(gh).all() and (gh != 0).any()
