@@ -42,13 +42,77 @@ def freq_out_dim(input_dim: int, num_freqs: int, include_input: bool = True) -> 
     return input_dim * (2 * num_freqs + int(include_input))
 
 
-def get_encoder(enc_cfg):
+def sh_encode(dirs: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
+    """Real spherical-harmonics basis of unit directions up to ``degree``
+    (exclusive), out_dim = degree**2. (The reference lists a
+    sphere_harmonics encoder type as a stub; this is the real basis.)"""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = [jnp.full_like(x, 0.28209479177387814)]  # l=0
+    if degree > 1:
+        out += [-0.4886025119029199 * y,
+                0.4886025119029199 * z,
+                -0.4886025119029199 * x]
+    if degree > 2:
+        xx, yy, zz, xy, yz, xz = x * x, y * y, z * z, x * y, y * z, x * z
+        out += [1.0925484305920792 * xy,
+                -1.0925484305920792 * yz,
+                0.31539156525252005 * (2.0 * zz - xx - yy),
+                -1.0925484305920792 * xz,
+                0.5462742152960396 * (xx - yy)]
+    if degree > 3:
+        xx, yy, zz = x * x, y * y, z * z
+        out += [-0.5900435899266435 * y * (3 * xx - yy),
+                2.890611442640554 * x * y * z,
+                -0.4570457994644658 * y * (4 * zz - xx - yy),
+                0.3731763325901154 * z * (2 * zz - 3 * xx - 3 * yy),
+                -0.4570457994644658 * x * (4 * zz - xx - yy),
+                1.445305721320277 * z * (xx - yy),
+                -0.5900435899266435 * x * (xx - 3 * yy)]
+    return jnp.stack(out, axis=-1)
+
+
+def sh_out_dim(degree: int = 4) -> int:
+    return degree * degree
+
+
+def get_encoder(enc_cfg, key=None):
     """Encoder factory mirroring reference ``src/models/encoding/__init__.py:6``.
 
-    Returns ``(encode_fn, out_dim)``.
+    Returns ``(encode_fn, out_dim)`` for parameter-free encoders, or
+    ``(params, encode_fn(params, x), out_dim)`` for learned ones
+    (hashgrid / triplane, which need ``key``).
     """
     etype = enc_cfg["type"]
     if etype == "frequency":
         d, f = int(enc_cfg["input_dim"]), int(enc_cfg["freq"])
         return (lambda x: freq_encode(x, f)), freq_out_dim(d, f)
+    if etype == "sphere_harmonics":
+        deg = int(enc_cfg.get("degree", 4))
+        return (lambda x: sh_encode(x, deg)), sh_out_dim(deg)
+    if etype in ("hashgrid", "grid_hash", "cuda_hashgrid"):
+        from .hashgrid import hashgrid_encode, hashgrid_out_dim, init_hashgrid
+
+        L = int(enc_cfg.get("n_levels", 16))
+        F = int(enc_cfg.get("n_features", 2))
+        base = int(enc_cfg.get("base_resolution", 16))
+        scale = float(enc_cfg.get("per_level_scale", 1.3819))
+        params = init_hashgrid(
+            key if key is not None else __import__("jax").random.PRNGKey(0),
+            n_levels=L, n_features=F,
+            log2_table_size=int(enc_cfg.get("log2_hashmap_size", 19)),
+            base_resolution=base, per_level_scale=scale,
+        )
+        fn = lambda p, x: hashgrid_encode(p, x, base_resolution=base,
+                                          per_level_scale=scale)
+        return params, fn, hashgrid_out_dim(L, F)
+    if etype in ("triplane", "cuda_triplane"):
+        from .triplane import init_triplane, triplane_encode, triplane_out_dim
+
+        R = int(enc_cfg.get("resolution", 128))
+        F = int(enc_cfg.get("n_features", 16))
+        params = init_triplane(
+            key if key is not None else __import__("jax").random.PRNGKey(0),
+            resolution=R, n_features=F,
+        )
+        return params, triplane_encode, triplane_out_dim(F)
     raise ValueError(f"unknown encoder type: {etype}")
