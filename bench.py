@@ -11,6 +11,7 @@ i.e. the kernel-fusion speedup over the unfused baseline.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -30,10 +31,27 @@ def main():
     from nerf_tpu.train.loop import init_nerf_params
 
     H = W = 800
-    opts = RenderOptions()  # lego defaults: 64+128, ESS+ERT, bf16
+    kwargs = {}
     if "--no-pallas" in sys.argv:
-        opts = RenderOptions(use_pallas=False)
+        kwargs["use_pallas"] = False
+    for i, a in enumerate(sys.argv):
+        if a == "--compaction" and i + 1 < len(sys.argv):
+            kwargs["ess_compaction"] = float(sys.argv[i + 1])
+    opts = RenderOptions(**kwargs)  # lego defaults: 64+128, ESS+ERT, bf16
     params = init_nerf_params(jax.random.PRNGKey(0), opts)
+
+    # use the trained checkpoint when present (honest ESS/ERT behavior)
+    ckpt_dir = "workspace/trained_model/nerf/lego/nerf"
+    try:
+        from nerf_tpu.train.checkpoint import load_params
+
+        loaded = load_params(ckpt_dir, params)
+        if loaded is not None:
+            params = loaded
+            print(f"# using trained checkpoint from {ckpt_dir}",
+                  file=sys.stderr)
+    except Exception:
+        pass
 
     # camera: lego-like intrinsics; real pose if dataset present
     try:
@@ -48,7 +66,14 @@ def main():
         K = jnp.asarray([[1111.1, 0, W / 2], [0, 1111.1, H / 2], [0, 0, 1]],
                         jnp.float32)
 
-    grid = occ.init_grid(jax.random.PRNGKey(1)) if opts.enable_ess else None
+    grid = None
+    if opts.enable_ess:
+        grid = occ.init_grid(jax.random.PRNGKey(1))
+        if os.path.exists(os.path.join(ckpt_dir, "latest.npz")):
+            from nerf_tpu.train.loop import make_density_fn
+
+            grid = occ.populate_from_density(
+                grid, make_density_fn(params["coarse"], opts))
 
     # warmup (compile)
     out = render_image(params, pose, K, jax.random.PRNGKey(0), H, W, opts,

@@ -113,6 +113,7 @@ class RenderOptions:
             enable_ert=bool(cfg.get("enable_ert", True)),
             ert_threshold=float(cfg.get("ert_threshold", 0.01)),
             enable_ess=bool(cfg.get("enable_ess", True)),
+            ess_compaction=float(cfg.get("ess_compaction", 0.0)),
             xyz_freqs=int(xyz_enc.get("freq", 10)),
             dir_freqs=int(cfg.network.dir_encoder.freq),
             mlp_depth=int(cfg.network.nerf.D),
