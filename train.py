@@ -23,11 +23,29 @@ def main(argv=None):
     if cfg.task == "img_fit":
         from nerf_tpu.train.img_fit_loop import train_img_fit
 
-        train_img_fit(cfg)
-    else:
-        from nerf_tpu.train.loop import train
+        return train_img_fit(cfg)
 
-        train(cfg)
+    from nerf_tpu.train.loop import train
+
+    # failure recovery: the reference's story is "restart with resume=True"
+    # (SURVEY.md §5); --auto_restart folds that into the trainer itself.
+    max_restarts = int(cfg.get("auto_restart", 0))
+    attempt = 0
+    while True:
+        try:
+            return train(cfg)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            attempt += 1
+            if attempt > max_restarts:
+                raise
+            import traceback
+
+            traceback.print_exc()
+            print(f"[auto_restart] attempt {attempt}/{max_restarts}: "
+                  f"resuming from latest checkpoint after {type(e).__name__}")
+            cfg.resume = True
 
 
 if __name__ == "__main__":
