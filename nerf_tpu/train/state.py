@@ -122,6 +122,93 @@ def train_steps(
     return state, jax.tree_util.tree_map(jnp.mean, stats)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("tx", "opts", "H", "W", "tile"),
+    donate_argnames=("state",),
+)
+def train_step_full_image(
+    state: TrainState,
+    images_u8: jnp.ndarray,
+    poses: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    key: jax.Array,
+    tx: optax.GradientTransformation,
+    opts: RenderOptions,
+    H: int,
+    W: int,
+    tile: int = 4096,
+    grid: Optional[OccupancyGrid] = None,
+):
+    """Whole-image training step (the reference's full-image loss semantics,
+    trainers/nerf.py:39-76): renders EVERY ray of one randomly chosen image
+    with gradients, accumulating grads over static ray tiles via lax.scan
+    (naive whole-image backward is memory-infeasible; tile accumulation is
+    exact because the loss is a mean over rays)."""
+    from ..render.rays import image_rays
+
+    k_img, k_render = jax.random.split(jax.random.fold_in(key, state.step))
+    n_img = images_u8.shape[0]
+    img_idx = jax.random.randint(k_img, (), 0, n_img)
+    c2w = poses[img_idx]
+    target_img = images_u8[img_idx].astype(jnp.float32) / 255.0  # [H, W, 3]
+
+    rays_o, rays_d = image_rays(H, W, intrinsics, c2w)
+    targets = target_img.reshape(-1, 3)
+    n = H * W
+    n_pad = (-n) % tile
+    rays_o = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
+    rays_d = jnp.pad(rays_d, ((0, n_pad), (0, 0)), constant_values=1.0)
+    targets = jnp.pad(targets, ((0, n_pad), (0, 0)))
+    valid = jnp.pad(jnp.ones((n,), jnp.float32), (0, n_pad))
+    n_tiles = (n + n_pad) // tile
+    shape3 = (n_tiles, tile, 3)
+    rays_o = rays_o.reshape(shape3)
+    rays_d = rays_d.reshape(shape3)
+    targets = targets.reshape(shape3)
+    valid = valid.reshape(n_tiles, tile)
+
+    def tile_loss(params, ro, rd, tgt, v, k):
+        out = render_rays(params, ro, rd, k, opts, grid=grid, train=True,
+                          query_fn=query_network_xla)
+        # per-tile SUM of squared error (averaged over the image at the end)
+        se_c = jnp.sum(((out["rgb_map_0"] - tgt) ** 2) * v[:, None])
+        rgb_fine = out.get("rgb_map", out["rgb_map_0"])
+        se_f = jnp.sum(((rgb_fine - tgt) ** 2) * v[:, None])
+        if "rgb_map" not in out:  # coarse-only: don't double-count
+            se_f = jnp.zeros_like(se_f)
+        return se_c + se_f, (se_c, se_f)
+
+    grad_fn = jax.value_and_grad(tile_loss, has_aux=True)
+
+    def body(carry, inp):
+        g_acc, se_c_acc, se_f_acc = carry
+        ro, rd, tgt, v, k = inp
+        (_, (se_c, se_f)), g = grad_fn(state.params, ro, rd, tgt, v, k)
+        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+        return (g_acc, se_c_acc + se_c, se_f_acc + se_f), None
+
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    keys = jax.random.split(k_render, n_tiles)
+    (g_sum, se_c, se_f), _ = jax.lax.scan(
+        body, (zero_g, 0.0, 0.0),
+        (rays_o, rays_d, targets, valid, keys),
+    )
+    denom = jnp.float32(n * 3)
+    grads = jax.tree_util.tree_map(lambda g: g / denom, g_sum)
+    loss_coarse = se_c / denom
+    loss_fine = se_f / denom
+    loss = loss_coarse + loss_fine
+    psnr_mse = jnp.where(loss_fine > 0, loss_fine, loss_coarse)
+    stats = {
+        "loss": loss, "loss_coarse": loss_coarse, "loss_fine": loss_fine,
+        "psnr": -10.0 * jnp.log10(psnr_mse),
+    }
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), stats
+
+
 @partial(jax.jit, static_argnames=("tx", "opts", "n_rays"), donate_argnames=("state",))
 def train_step(
     state: TrainState,
