@@ -97,7 +97,7 @@ def populate_from_density(
     grid: OccupancyGrid,
     density_fn,
     threshold: float = 0.01,
-    chunk: int = 262144,
+    chunk: int = 2_097_152,
 ) -> OccupancyGrid:
     """KiloNeRF-style rebuild: sample a 3x3x3 subgrid per cell, a cell is
     occupied iff any subsample's density exceeds ``threshold``.
