@@ -17,7 +17,9 @@ import time
 
 import numpy as np
 
-XLA_BASELINE_RAYS_PER_S = 52519.0  # round-1 unfused XLA path, v5e, this repo
+# round-1 unfused XLA path on the round-1 trained checkpoint (PSNR 28.8),
+# measured on this repo's v5e — future rounds report speedup vs this
+XLA_BASELINE_RAYS_PER_S = 44109.8
 
 LEGO_ROOT = "/root/reference/data/nerf_synthetic"
 
