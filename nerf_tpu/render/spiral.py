@@ -33,15 +33,20 @@ def generate_spiral_poses(
         theta = 2 * np.pi * n_rots * i / n_frames
         phi = zrate * np.sin(2 * np.pi * i / n_frames)
         cam_pos = center + radius * (np.cos(theta) * right + np.sin(theta) * forward) + phi * up
-        cam_fwd = center - cam_pos
-        cam_fwd = cam_fwd / np.linalg.norm(cam_fwd)
-        cam_right = np.cross(cam_fwd, up)
+        # look-at in the NeRF/OpenGL convention: the camera views along -Z,
+        # so the pose's Z column points AWAY from the target. (The
+        # reference sets +Z toward the center, volume_renderer.py:419,
+        # which makes its spiral cameras face away from the scene — a bug
+        # we do not replicate.)
+        cam_z = cam_pos - center
+        cam_z = cam_z / np.linalg.norm(cam_z)
+        cam_right = np.cross(up, cam_z)
         cam_right = cam_right / np.linalg.norm(cam_right)
-        cam_up = np.cross(cam_right, cam_fwd)
+        cam_up = np.cross(cam_z, cam_right)
         pose = np.eye(4)
         pose[:3, 0] = cam_right
         pose[:3, 1] = cam_up
-        pose[:3, 2] = cam_fwd  # NeRF convention: +Z forward
+        pose[:3, 2] = cam_z
         pose[:3, 3] = cam_pos
         render_poses.append(pose)
     return np.stack(render_poses).astype(np.float32)

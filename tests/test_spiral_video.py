@@ -35,6 +35,13 @@ def test_spiral_poses_orbit():
     R = sp[:, :3, :3]
     err = np.abs(R @ np.swapaxes(R, 1, 2) - np.eye(3)).max()
     assert err < 1e-5
+    # NeRF convention: the camera looks along -Z, i.e. the view direction
+    # (-Z column) must point from the camera toward the orbit center
+    view_dirs = -sp[:, :3, 2]
+    to_center = centers.mean(0) - centers
+    to_center /= np.linalg.norm(to_center, axis=1, keepdims=True)
+    cos = np.sum(view_dirs * to_center, axis=1)
+    assert (cos > 0.95).all(), cos.min()
 
 
 def test_write_video_and_sequence(tmp_path):
