@@ -1,0 +1,115 @@
+"""Pallas compositing (volume integration) kernel.
+
+TPU-native analog of the reference's ``cuda/integrate.cu`` (per-ray
+sequential alpha compositing with running transmittance + ERT): one grid
+step composites a tile of rays entirely in VMEM. The per-ray scan over
+samples is expressed as a lane-axis cumulative product in log space
+(exclusive transmittance T_i = exp(cumsum_{j<i} log(1 - a_j + 1e-10))),
+matching ``render/composite.py`` math; ERT is the monotone-T mask.
+
+Layout: the sample axis is the minor (lane) dimension; rgb is passed as
+[T, 3, S] so every array keeps S lanes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _integrate_kernel(ert_ref, sigma_ref, rgb_ref, z_ref, dnorm_ref,
+                      rgb_map_ref, depth_ref, acc_ref, weights_ref):
+    f32 = jnp.float32
+    sigma = sigma_ref[:]          # [T, S] raw density
+    z = z_ref[:]                  # [T, S]
+    dnorm = dnorm_ref[:]          # [T, 1] ||rays_d||
+
+    dists = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1)
+    dists = dists * dnorm
+
+    alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dists)
+    log_1ma = jnp.log(1.0 - alpha + 1e-10)
+    # exclusive cumsum: shift right by one lane
+    csum = jnp.cumsum(log_1ma, axis=-1)
+    excl = jnp.concatenate(
+        [jnp.zeros_like(csum[:, :1]), csum[:, :-1]], axis=-1)
+    trans = jnp.exp(excl)
+    weights = alpha * trans
+
+    ert = ert_ref[0]
+    weights = jnp.where(
+        ert > 0, weights * (trans >= ert).astype(f32), weights)
+
+    rgb = jax.nn.sigmoid(rgb_ref[:])              # [T, 3, S]
+    rgb_map_ref[:] = jnp.sum(rgb * weights[:, None, :], axis=-1)
+    depth_ref[:] = jnp.sum(weights * z, axis=-1, keepdims=True)
+    acc_ref[:] = jnp.sum(weights, axis=-1, keepdims=True)
+    weights_ref[:] = weights
+
+
+@partial(jax.jit, static_argnames=("tile", "white_bkgd", "interpret"))
+def integrate_pallas(
+    sigma: jnp.ndarray,     # [N, S] raw density
+    rgb_raw: jnp.ndarray,   # [N, S, 3]
+    z_vals: jnp.ndarray,    # [N, S]
+    rays_d: jnp.ndarray,    # [N, 3]
+    ert_threshold: float = 0.0,   # 0 = ERT off
+    white_bkgd: bool = True,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    N, S = sigma.shape
+    n_pad = (-N) % tile
+    if n_pad:
+        sigma = jnp.pad(sigma, ((0, n_pad), (0, 0)))
+        rgb_raw = jnp.pad(rgb_raw, ((0, n_pad), (0, 0), (0, 0)))
+        z_vals = jnp.pad(z_vals, ((0, n_pad), (0, 0)), constant_values=1.0)
+        rays_d = jnp.pad(rays_d, ((0, n_pad), (0, 0)), constant_values=1.0)
+    Np = N + n_pad
+    n_tiles = Np // tile
+
+    rgb_t = jnp.moveaxis(rgb_raw, -1, 1)  # [Np, 3, S] keeps S on lanes
+    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    ert = jnp.full((1,), ert_threshold, jnp.float32)
+
+    out = pl.pallas_call(
+        _integrate_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, 3), jnp.float32),   # rgb_map (pre-bg)
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),   # depth
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),   # acc
+            jax.ShapeDtypeStruct((Np, S), jnp.float32),   # weights
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(ert, sigma, rgb_t, z_vals, dnorm)
+
+    rgb_map, depth, acc, weights = out
+    rgb_map = rgb_map[:N]
+    depth = depth[:N, 0]
+    acc = acc[:N, 0]
+    weights = weights[:N]
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc[:, None])
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+    return {"rgb_map": rgb_map, "depth_map": depth, "acc_map": acc,
+            "disp_map": disp, "weights": weights}
