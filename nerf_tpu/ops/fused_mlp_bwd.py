@@ -22,7 +22,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _KPARAM_KEYS, repack_params
+from .fused_mlp import _KPARAM_KEYS
 
 # gradient outputs, in emission order (all weight keys except sx/sd)
 _GRAD_KEYS = tuple(k for k in _KPARAM_KEYS if k not in ("sx", "sd"))

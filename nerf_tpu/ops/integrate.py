@@ -13,7 +13,7 @@ Layout: the sample axis is the minor (lane) dimension; rgb is passed as
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ first (global_to_local.cu:8-29).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

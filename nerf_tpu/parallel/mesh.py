@@ -12,7 +12,7 @@ the mesh then spans the whole pod slice.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
