@@ -213,12 +213,14 @@ def distill_step(
 
     t_raw = teacher_query_fn(pts[:, None, :], dirs)[:, 0, :]
     t_rgb = jax.nn.sigmoid(t_raw[..., :3])
-    t_sigma = jax.nn.relu(t_raw[..., 3])
+    # density matched in log1p space: raw densities span orders of
+    # magnitude and a plain L2 is dominated by the few largest values
+    t_sigma = jnp.log1p(jax.nn.relu(t_raw[..., 3]))
 
     def loss_fn(p):
         raw = kilonerf_eval(p, pts, dirs, cfg)
         rgb = jax.nn.sigmoid(raw[..., :3])
-        sigma = jax.nn.relu(raw[..., 3])
+        sigma = jnp.log1p(jax.nn.relu(raw[..., 3]))
         return jnp.mean((rgb - t_rgb) ** 2) + jnp.mean((sigma - t_sigma) ** 2)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
