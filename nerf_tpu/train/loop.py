@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.blender import make_dataset
+from ..parallel.multihost import is_main_process
 from ..models.encoders import freq_encode
 from ..models.nerf_mlp import apply_nerf_mlp, init_nerf_mlp
 from ..render import occupancy as occ
@@ -158,14 +159,19 @@ def train(cfg, max_epochs: Optional[int] = None):
             rate = float(jnp.mean(grid.occupied.astype(jnp.float32)))
             print(f"occupancy grid rebuilt: {rate * 100:.2f}% occupied")
 
-        if (epoch + 1) % int(cfg.get("save_latest_ep", 10)) == 0:
-            save_checkpoint(model_dir, state, epoch, recorder.state_dict())
-        if (epoch + 1) % int(cfg.get("save_ep", 40)) == 0:
-            save_checkpoint(model_dir, state, epoch, recorder.state_dict())
-        if (epoch + 1) % int(cfg.get("eval_ep", 40)) == 0:
-            validate(cfg, state.params, opts, grid, recorder, step=int(state.step))
+        # host-0 gating (the reference's rank-0 checkpoint/eval gating,
+        # train.py:68-85); on a single host this is always true
+        if is_main_process():
+            if (epoch + 1) % int(cfg.get("save_latest_ep", 10)) == 0:
+                save_checkpoint(model_dir, state, epoch, recorder.state_dict())
+            if (epoch + 1) % int(cfg.get("save_ep", 40)) == 0:
+                save_checkpoint(model_dir, state, epoch, recorder.state_dict())
+            if (epoch + 1) % int(cfg.get("eval_ep", 40)) == 0:
+                validate(cfg, state.params, opts, grid, recorder,
+                         step=int(state.step))
 
-    save_checkpoint(model_dir, state, end_epoch - 1, recorder.state_dict())
+    if is_main_process():
+        save_checkpoint(model_dir, state, end_epoch - 1, recorder.state_dict())
     return state, grid
 
 
