@@ -223,9 +223,11 @@ def load_cfg(cfg_file: str) -> Config:
     if "parent_cfg" in current:
         parent_path = current.pop("parent_cfg")
         if not os.path.isabs(parent_path):
-            parent_path = os.path.join(os.path.dirname(cfg_file), parent_path)
-            if not os.path.exists(parent_path):
-                parent_path = current.get("parent_cfg", parent_path)
+            # resolve relative to the child yaml's directory, falling back
+            # to cwd-relative (how the reference configs reference parents)
+            cand = os.path.join(os.path.dirname(cfg_file), parent_path)
+            if os.path.exists(cand):
+                parent_path = cand
         parent = load_cfg(parent_path)
         parent.merge(current)
         return parent

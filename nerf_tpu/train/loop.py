@@ -96,11 +96,13 @@ def train(cfg, max_epochs: Optional[int] = None):
     params = init_nerf_params(k_init, opts)
     tx = make_optimizer(cfg)
     state = init_state(params, tx)
-    grid = init_grid = (
+    # seed grid kept around as the rebuild starting point
+    seed_grid = (
         occ.init_grid(k_grid, int(cfg.get("occupancy_grid_resolution", 128)))
         if opts.enable_ess
         else None
     )
+    grid = seed_grid
 
     model_dir = cfg.trained_model_dir
     if not cfg.get("resume", True):
@@ -155,7 +157,7 @@ def train(cfg, max_epochs: Optional[int] = None):
         # ESS grid rebuild from the learned density (KiloNeRF method)
         if grid is not None and (epoch + 1) % grid_rebuild_ep == 0:
             density_fn = make_density_fn(state.params["coarse"], opts)
-            grid = occ.populate_from_density(init_grid, density_fn)
+            grid = occ.populate_from_density(seed_grid, density_fn)
             rate = float(jnp.mean(grid.occupied.astype(jnp.float32)))
             print(f"occupancy grid rebuilt: {rate * 100:.2f}% occupied")
 

@@ -221,8 +221,7 @@ def train_step(
     n_rays: int,
     grid: Optional[OccupancyGrid] = None,
 ):
-    k_batch, k_render = jax.random.fold_in(key, state.step), None
-    k_batch, k_render = jax.random.split(k_batch)
+    k_batch, k_render = jax.random.split(jax.random.fold_in(key, state.step))
     rays_o, rays_d, target = sample_ray_batch(
         k_batch, images_u8, poses, intrinsics, n_rays
     )
