@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PRIMES = (1, 2654435761, 805459861)  # instant-NGP hash primes
+# instant-NGP hash primes (first D used for a D-dim grid)
+_PRIMES = (1, 2654435761, 805459861, 3674653429)
 
 
 def level_resolutions(
@@ -56,24 +57,25 @@ def init_hashgrid(
 
 
 def _corner_index(corner: jnp.ndarray, res: jnp.ndarray, table_size: int) -> jnp.ndarray:
-    """corner: [..., 3] int32 grid coords; res: scalar level resolution.
+    """corner: [..., D] int32 grid coords (D in 2..4); res: level resolution.
 
     Direct indexing when the dense level grid fits in the table, else the
     instant-NGP XOR hash (hashencoder.cu:36-76 behavior).
     """
-    dense = (res + 1) ** 3 <= table_size
-    # direct: x + y*(res+1) + z*(res+1)^2
+    D = corner.shape[-1]
+    dense = (res + 1) ** D <= table_size
+    # direct: sum_d corner_d * (res+1)^d
     stride = res + 1
-    direct_idx = (
-        corner[..., 0] + corner[..., 1] * stride + corner[..., 2] * stride * stride
-    )
+    direct_idx = corner[..., 0]
+    mult = stride
+    for d in range(1, D):
+        direct_idx = direct_idx + corner[..., d] * mult
+        mult = mult * stride
     # XOR hash in wrapping uint32 arithmetic (the primes exceed int32)
     cu = corner.astype(jnp.uint32)
-    h = (
-        cu[..., 0] * jnp.uint32(_PRIMES[0])
-        ^ cu[..., 1] * jnp.uint32(_PRIMES[1])
-        ^ cu[..., 2] * jnp.uint32(_PRIMES[2])
-    )
+    h = cu[..., 0] * jnp.uint32(_PRIMES[0])
+    for d in range(1, D):
+        h = h ^ (cu[..., d] * jnp.uint32(_PRIMES[d]))
     hash_idx = (h % jnp.uint32(table_size)).astype(jnp.int32)
     return jnp.where(dense, direct_idx % table_size, hash_idx)
 
@@ -98,27 +100,28 @@ def hashgrid_encode(
         resolutions = level_resolutions(L, base_resolution, per_level_scale)
     res = jnp.asarray(resolutions)  # [L]
 
+    import itertools
+
+    D = pts.shape[-1]
     x = (pts - bbox_min) / (bbox_max - bbox_min)
     x = jnp.clip(x, 0.0, 1.0 - 1e-6)
 
-    # [L, N, 3] scaled coordinates
+    # [L, N, D] scaled coordinates
     xl = x[None] * res[:, None, None].astype(x.dtype)
     x0 = jnp.floor(xl)
     frac = xl - x0
     x0 = x0.astype(jnp.int32)
 
-    # 8 corners: offsets [8, 3]
-    offs = jnp.asarray(
-        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.int32
-    )
-    corners = x0[:, :, None, :] + offs[None, None]  # [L, N, 8, 3]
+    # 2^D corners: offsets [2^D, D]
+    offs = jnp.asarray(list(itertools.product((0, 1), repeat=D)), jnp.int32)
+    corners = x0[:, :, None, :] + offs[None, None]  # [L, N, 2^D, D]
 
-    idx = jax.vmap(lambda c, r: _corner_index(c, r, T))(corners, res)  # [L, N, 8]
+    idx = jax.vmap(lambda c, r: _corner_index(c, r, T))(corners, res)  # [L, N, 2^D]
     feats = jnp.take_along_axis(
         table[:, :, None, :].reshape(L, T, F),
         idx.reshape(L, -1, 1),
         axis=1,
-    ).reshape(L, *idx.shape[1:], F)  # [L, N, 8, F]
+    ).reshape(L, *idx.shape[1:], F)  # [L, N, 2^D, F]
 
     # trilinear weights per corner
     w = jnp.where(offs[None, None] == 1, frac[:, :, None, :],
