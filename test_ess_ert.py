@@ -82,8 +82,15 @@ def main(argv=None):
             times.append(time.time() - t0)
         mean_t = float(np.mean(times[1:])) if len(times) > 1 else times[0]
         results[name] = mean_t
+        # ERT telemetry (reference prints termination rate every 500 calls,
+        # volume_renderer.py:1141): final transmittance ~ 1 - acc, so a ray
+        # terminated early iff acc > 1 - threshold
+        acc = np.asarray(out.get("acc_map"))
+        thr = float(cfg.get("ert_threshold", 0.01))
+        term_rate = float((acc > 1.0 - thr).mean()) * 100
         print(f"{name:>9}: {mean_t:.3f}s/frame  {H*W/mean_t:,.0f} rays/s  "
-              f"(per-frame: {', '.join(f'{t:.2f}' for t in times)})")
+              f"({term_rate:.1f}% rays terminated early; per-frame: "
+              f"{', '.join(f'{t:.2f}' for t in times)})")
 
     base_t = results["baseline"]
     print("\nspeedup vs baseline:")
