@@ -68,6 +68,49 @@ def run_network(cfg):
               f"{ds.H * ds.W / mean_t:,.0f} rays/s")
 
 
+def run_marched(cfg):
+    """Fast-inference timing: blockwise marched renderer vs hierarchical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_tpu.data.blender import make_dataset
+    from nerf_tpu.render import occupancy as occ
+    from nerf_tpu.render.marched import render_image_marched
+    from nerf_tpu.render.renderer import RenderOptions, render_image
+    from nerf_tpu.train.loop import make_density_fn
+    from nerf_tpu.eval.metrics import psnr as psnr_fn
+
+    opts = RenderOptions.from_cfg(cfg)
+    params = _load_eval_params(cfg, opts)
+    grid = occ.populate_from_density(
+        occ.init_grid(jax.random.PRNGKey(1),
+                      int(cfg.get("occupancy_grid_resolution", 128))),
+        make_density_fn(params["coarse"], opts))
+    ds = make_dataset(cfg, "test")
+    K = jnp.asarray(ds.K)
+    pose = jnp.asarray(ds.poses[0])
+    n_blocks = int(cfg.get("march_blocks", 16))
+    block_samples = int(cfg.get("march_block_samples", 16))
+
+    for name, fn in (
+        ("hierarchical", lambda k: render_image(
+            params, pose, K, k, ds.H, ds.W, opts, grid=grid)),
+        ("marched", lambda k: render_image_marched(
+            params, pose, K, k, ds.H, ds.W, opts, grid=grid,
+            n_blocks=n_blocks, block_samples=block_samples)),
+    ):
+        out = fn(jax.random.PRNGKey(0))
+        np.asarray(out["rgb_map"])  # compile+sync
+        t0 = time.time()
+        out = fn(jax.random.PRNGKey(1))
+        pred = np.clip(np.asarray(out["rgb_map"]), 0, 1)
+        dt = time.time() - t0
+        p = psnr_fn(pred, ds.images[0])
+        print(f"{name:>12}: {dt:6.2f}s/frame  {ds.H * ds.W / dt:>9,.0f} rays/s"
+              f"  psnr {p:.2f}")
+
+
 def run_evaluate(cfg):
     """Full eval: PSNR/SSIM/MSE + fps + optional video (reference run.py:45)."""
     import jax
