@@ -57,6 +57,13 @@ class RenderOptions:
     # refocusing disabled, or keep it off (measured: comp 0.5 with refocus
     # on drops lego PSNR 29.5 -> 12.7 from overflow holes).
     ess_compaction: float = 0.0
+    # network family: "nerf" (coarse+fine big MLP) or "kilonerf" (voxel-
+    # routed tiny MLPs, ops/kilonerf.py — the reference's network_eval.cu /
+    # multimatmul.cu fast path as a first-class network_module)
+    network_type: str = "nerf"
+    kilo_grid_size: int = 16
+    kilo_hidden: int = 32
+    kilo_capacity_factor: float = 2.0
     xyz_freqs: int = 10
     dir_freqs: int = 4
     # xyz encoder: "frequency" (reference default) or "hashgrid" (instant-
@@ -104,8 +111,13 @@ class RenderOptions:
                 hash_base_res=int(xyz_enc.get("base_resolution", 16)),
                 hash_scale=float(xyz_enc.get("per_level_scale", 1.3819)),
             )
+        kilo = cfg.get("kilo", {})
         return cls(
             **hash_kwargs,
+            network_type=str(cfg.get("network_module", "nerf")),
+            kilo_grid_size=int(kilo.get("grid_size", 16)),
+            kilo_hidden=int(kilo.get("hidden", 32)),
+            kilo_capacity_factor=float(kilo.get("capacity_factor", 2.0)),
             n_samples=int(ta.N_samples),
             n_importance=int(ta.N_importance),
             near=float(cfg.get("near", 2.0)),
@@ -168,7 +180,30 @@ def query_network_xla(
     return raw.reshape(n, s, 4)
 
 
+def kilo_config_from_opts(opts: RenderOptions):
+    from ..ops.kilonerf import KiloConfig
+
+    return KiloConfig(
+        grid_size=opts.kilo_grid_size,
+        hidden=opts.kilo_hidden,
+        xyz_freqs=opts.xyz_freqs,
+        dir_freqs=opts.dir_freqs,
+        capacity_factor=opts.kilo_capacity_factor,
+    )
+
+
 def get_query_fn(opts: RenderOptions) -> Callable:
+    if opts.network_type == "kilonerf":
+        from ..ops.kilonerf import query_network_kilonerf
+
+        kcfg = kilo_config_from_opts(opts)
+
+        def kilo_query(params, pts, viewdirs, o):
+            if viewdirs is None:  # arch always consumes dirs
+                viewdirs = jnp.zeros((pts.shape[0], 3), pts.dtype)
+            return query_network_kilonerf(params, pts, viewdirs, o, kcfg)
+
+        return kilo_query
     # Pallas TPU kernels only lower on TPU backends (the axon PJRT plugin
     # reports its own platform name, so gate on "not cpu/gpu")
     if opts.use_pallas and jax.default_backend() not in ("cpu", "gpu", "cuda"):

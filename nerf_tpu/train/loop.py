@@ -31,6 +31,12 @@ from .state import TrainState, init_state, train_steps
 
 
 def init_nerf_params(key, opts: RenderOptions):
+    if opts.network_type == "kilonerf":
+        from ..ops.kilonerf import init_kilonerf
+        from ..render.renderer import kilo_config_from_opts
+
+        p = init_kilonerf(key, kilo_config_from_opts(opts))
+        return {"coarse": p, "fine": p}  # one shared voxel-routed model
     kc, kf = jax.random.split(key)
     kwargs = dict(
         D=opts.mlp_depth, W=opts.mlp_width,
@@ -64,6 +70,18 @@ def init_nerf_params(key, opts: RenderOptions):
 
 def make_density_fn(params, opts: RenderOptions):
     """[M,3] -> relu(sigma) using the coarse model (for grid rebuilds)."""
+    if opts.network_type == "kilonerf":
+        from ..ops.kilonerf import kilonerf_eval
+        from ..render.renderer import kilo_config_from_opts
+
+        kcfg = kilo_config_from_opts(opts)
+
+        @jax.jit
+        def kilo_density(pts):
+            dirs = jnp.zeros_like(pts)
+            return jax.nn.relu(kilonerf_eval(params, pts, dirs, kcfg)[..., 3])
+
+        return kilo_density
 
     @jax.jit
     def density(pts):

@@ -28,6 +28,30 @@ def _load_eval_params(cfg, opts):
     from nerf_tpu.train.optim import make_optimizer
     from nerf_tpu.train.state import init_state
 
+    if cfg.get("network_module", "nerf") == "kilonerf":
+        # distilled voxel-routed model (distill_kilonerf.py writes
+        # <trained_model_dir>/kilonerf with a plain-adam TrainState)
+        import os
+        import optax
+
+        from nerf_tpu.ops.kilonerf import init_kilonerf
+        from nerf_tpu.render.renderer import kilo_config_from_opts
+        from nerf_tpu.train.state import TrainState
+
+        import jax.numpy as jnp
+
+        p = init_kilonerf(jax.random.PRNGKey(0), kilo_config_from_opts(opts))
+        tx = optax.adam(1e-3)
+        template = TrainState(params=p, opt_state=tx.init(p),
+                              step=jnp.asarray(0))
+        kilo_dir = os.path.join(cfg.trained_model_dir, "kilonerf")
+        ckpt = load_checkpoint(kilo_dir, template)
+        if ckpt is None:
+            print(f"WARNING: no kilonerf checkpoint in {kilo_dir}; "
+                  "using random weights")
+            return {"coarse": p, "fine": p}
+        return {"coarse": ckpt[0].params, "fine": ckpt[0].params}
+
     params = init_nerf_params(jax.random.PRNGKey(0), opts)
     template = init_state(params, make_optimizer(cfg))
     ckpt = load_checkpoint(cfg.trained_model_dir, template)
