@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from . import occupancy as occ
-from .renderer import RenderOptions, get_query_fn
+from .renderer import (
+    RenderOptions, compaction_capacity, get_query_fn, query_masked_compacted,
+)
 
 
 def ray_aabb(rays_o, rays_d, bbox_min, bbox_max, near, far):
@@ -82,9 +84,21 @@ def render_rays_marched(
         sample_mask = active[:, None]
         if opts.enable_ess and grid is not None:
             sample_mask = sample_mask & occ.query(grid, pts)
+        else:
+            sample_mask = jnp.broadcast_to(sample_mask, pts.shape[:2])
 
-        raw = query_fn(params[model] if model in params else params,
-                       pts, viewdirs, opts)
+        p = params[model] if model in params else params
+        if opts.ess_compaction > 0.0:
+            # unified ESS+ERT compaction: the block's mask already folds in
+            # terminated rays and empty voxels, so the fixed-capacity gather
+            # converts BOTH optimizations into real FLOP savings (the
+            # reference's compact-then-evaluate DDA pipeline, SURVEY §3.4)
+            cap = compaction_capacity(
+                pts.shape[0] * pts.shape[1], opts.ess_compaction)
+            raw = query_masked_compacted(
+                query_fn, p, pts, viewdirs, opts, sample_mask, cap)
+        else:
+            raw = query_fn(p, pts, viewdirs, opts)
         sigma = jnp.where(sample_mask, jax.nn.relu(raw[..., 3]), 0.0)
         rgb = jax.nn.sigmoid(raw[..., :3])
 

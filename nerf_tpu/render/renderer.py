@@ -47,15 +47,19 @@ class RenderOptions:
     enable_ert: bool = True
     ert_threshold: float = 0.01
     enable_ess: bool = True
-    # ESS masked compaction: evaluate the network only for samples whose
-    # voxel is occupied, gathered into a static-capacity buffer (fraction of
-    # total points). 0 = off. Occupied samples beyond capacity fall back to
-    # empty (sigma=0), so keep headroom above the scene's occupancy rate.
-    # NOTE: largely redundant with the ESS sample REFOCUSING (which already
-    # concentrates samples into occupied space, pushing per-tile occupancy
-    # toward 100% and causing capacity overflow); use compaction with
-    # refocusing disabled, or keep it off (measured: comp 0.5 with refocus
-    # on drops lego PSNR 29.5 -> 12.7 from overflow holes).
+    # Masked compaction: evaluate the network only for samples that pass
+    # the skip mask, gathered into a static-capacity buffer (fraction of
+    # total points). 0 = off. Kept samples beyond capacity fall back to
+    # empty (sigma=0), so keep headroom above the expected kept rate.
+    # - marched path (render/marched.py): the UNIFIED pipeline — the mask
+    #   folds in ERT-terminated rays AND empty voxels, so both optimizations
+    #   become real FLOP savings (reference's compacted DDA, SURVEY §3.4).
+    # - hierarchical path: mask = occupancy only; largely redundant with the
+    #   ESS sample REFOCUSING (which concentrates samples into occupied
+    #   space, pushing per-tile occupancy toward 100% and causing capacity
+    #   overflow) — use compaction with refocusing disabled there, or use
+    #   the marched renderer (measured: comp 0.5 with refocus on drops lego
+    #   PSNR 29.5 -> 12.7 from overflow holes).
     ess_compaction: float = 0.0
     # network family: "nerf" (coarse+fine big MLP) or "kilonerf" (voxel-
     # routed tiny MLPs, ops/kilonerf.py — the reference's network_eval.cu /
@@ -216,32 +220,33 @@ def get_query_fn(opts: RenderOptions) -> Callable:
     return query_network_xla
 
 
-def query_with_compaction(
+def query_masked_compacted(
     query_fn: Callable,
     params: Any,
     pts: jnp.ndarray,
     viewdirs: Optional[jnp.ndarray],
     opts: RenderOptions,
-    grid: occ.OccupancyGrid,
+    mask: jnp.ndarray,
+    cap: int,
 ) -> jnp.ndarray:
-    """ESS masked compaction (the TPU analog of the reference's compacted
-    DDA query generation, generate_inputs.cu:60-193): gather samples in
-    occupied voxels into a fixed-capacity buffer via cumsum indexing, run
-    the network only on those, scatter back. Empty / over-capacity samples
-    return raw 0 (=> alpha 0). Static shapes throughout.
+    """Masked compaction (the TPU analog of the reference's compacted DDA
+    query generation, generate_inputs.cu:60-193): gather samples where
+    ``mask`` is True into a fixed-capacity buffer via cumsum indexing, run
+    the network only on those, scatter back. Masked-off / over-capacity
+    samples return raw 0 (=> alpha 0). Static shapes throughout.
+
+    pts [N,S,3], viewdirs [N,3] or None, mask [N,S] -> raw [N,S,4].
     """
     n, s, _ = pts.shape
     P = n * s
-    cap = int(P * opts.ess_compaction)
-    cap = max(256, ((cap + 255) // 256) * 256)
     if cap >= P:
         return query_fn(params, pts, viewdirs, opts)
 
     flat_pts = pts.reshape(P, 3)
-    occ_mask = occ.query(grid, flat_pts)  # [P]
-    # stable compaction index: occupied point i -> slot cumsum(occ)[i]-1
-    slot = jnp.cumsum(occ_mask.astype(jnp.int32)) - 1
-    target = jnp.where(occ_mask & (slot < cap), slot, cap)  # cap = OOB drop
+    flat_mask = mask.reshape(P)
+    # stable compaction index: kept point i -> slot cumsum(mask)[i]-1
+    slot = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+    target = jnp.where(flat_mask & (slot < cap), slot, cap)  # cap = OOB drop
     gather_idx = jnp.zeros((cap,), jnp.int32).at[target].set(
         jnp.arange(P, dtype=jnp.int32), mode="drop"
     )
@@ -256,10 +261,31 @@ def query_with_compaction(
         raw_c = query_fn(params, pts_c[:, None, :], None, opts)
     raw_c = raw_c.reshape(cap, 4)
 
-    # un-compact: point i (occupied, in capacity) reads raw_c[slot[i]]
-    keep = (occ_mask & (slot < cap))[:, None]
+    # un-compact: point i (kept, in capacity) reads raw_c[slot[i]]
+    keep = (flat_mask & (slot < cap))[:, None]
     raw = jnp.where(keep, raw_c[jnp.clip(slot, 0, cap - 1)], 0.0)
     return raw.reshape(n, s, 4)
+
+
+def compaction_capacity(n_points: int, fraction: float) -> int:
+    cap = int(n_points * fraction)
+    return max(256, ((cap + 255) // 256) * 256)
+
+
+def query_with_compaction(
+    query_fn: Callable,
+    params: Any,
+    pts: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    opts: RenderOptions,
+    grid: occ.OccupancyGrid,
+) -> jnp.ndarray:
+    """ESS compaction over an occupancy mask (hierarchical-path adapter)."""
+    n, s, _ = pts.shape
+    cap = compaction_capacity(n * s, opts.ess_compaction)
+    occ_mask = occ.query(grid, pts.reshape(-1, 3)).reshape(n, s)
+    return query_masked_compacted(
+        query_fn, params, pts, viewdirs, opts, occ_mask, cap)
 
 
 def render_rays(

@@ -85,3 +85,44 @@ def test_ert_reduces_transmittance_work():
     # dense rays: ERT masking changes only the tail where T < 1% -> tiny diff
     np.testing.assert_allclose(np.asarray(a["rgb_map"]),
                                np.asarray(b["rgb_map"]), atol=2e-2)
+
+
+def test_marched_compaction_matches_uncompacted():
+    """Unified ESS+ERT compaction in the marched path: with generous
+    capacity, the compacted render must match the plain masked render."""
+    from nerf_tpu.render import occupancy as occ
+
+    params = init_nerf_params(jax.random.PRNGKey(0), _opts())
+    rng = np.random.RandomState(1)
+    n = 128
+    rays_o = jnp.zeros((n, 3))
+    d = rng.randn(n, 3).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5  # point roughly into the box
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.asarray(np.tile([0.0, 0.0, 4.0], (n, 1)).astype(np.float32))
+    rays_d = jnp.asarray(d)
+
+    # partially-occupied grid (seed sphere + sprinkle) so the compaction
+    # gather path actually engages: kept fraction < capacity < 1
+    grid = occ.init_grid(jax.random.PRNGKey(7), 32)
+    from nerf_tpu.render.renderer import compaction_capacity
+
+    assert compaction_capacity(n * 8, 0.75) < n * 8  # gather engaged per block
+    base = _opts(enable_ess=True, enable_ert=True)
+    out_full = render_rays_marched(
+        params, rays_o, rays_d, jax.random.PRNGKey(1), base,
+        grid=grid, n_blocks=4, block_samples=8)
+    out_comp = render_rays_marched(
+        params, rays_o, rays_d, jax.random.PRNGKey(1),
+        _opts(enable_ess=True, enable_ert=True, ess_compaction=0.75),
+        grid=grid, n_blocks=4, block_samples=8)
+    np.testing.assert_allclose(np.asarray(out_comp["rgb_map"]),
+                               np.asarray(out_full["rgb_map"]),
+                               rtol=1e-4, atol=1e-4)
+
+    # tight capacity still yields finite, plausible output (graceful holes)
+    out_tight = render_rays_marched(
+        params, rays_o, rays_d, jax.random.PRNGKey(1),
+        _opts(enable_ess=True, enable_ert=True, ess_compaction=0.5),
+        grid=grid, n_blocks=4, block_samples=8)
+    assert np.all(np.isfinite(np.asarray(out_tight["rgb_map"])))
