@@ -252,5 +252,141 @@ def read_model(model_dir: str):
     else:
         cams = read_cameras_txt(os.path.join(model_dir, "cameras.txt"))
         imgs = read_images_txt(os.path.join(model_dir, "images.txt"))
-        pts = None
+        p3d_path = os.path.join(model_dir, "points3D.txt")
+        pts = read_points3d_txt(p3d_path) if os.path.exists(p3d_path) else None
     return cams, imgs, pts
+
+
+# ---------------------------------------------------------------------------
+# points3D txt I/O (rounds out the txt model surface of read_write_model.py)
+
+def read_points3d_txt(path: str) -> Dict[int, Point3D]:
+    pts: Dict[int, Point3D] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            e = line.split()
+            track = np.asarray(e[8:], float).reshape(-1, 2)
+            pts[int(e[0])] = Point3D(
+                id=int(e[0]),
+                xyz=np.asarray(e[1:4], np.float64),
+                rgb=np.asarray(e[4:7], np.uint8),
+                error=float(e[7]),
+                image_ids=track[:, 0].astype(np.int64),
+                point2D_idxs=track[:, 1].astype(np.int64),
+            )
+    return pts
+
+
+def write_points3d_txt(path: str, pts: Dict[int, Point3D]):
+    with open(path, "w") as f:
+        f.write("# 3D point list: POINT3D_ID X Y Z R G B ERROR "
+                "TRACK[] as (IMAGE_ID POINT2D_IDX)\n")
+        for p in pts.values():
+            track = " ".join(
+                f"{int(i)} {int(j)}"
+                for i, j in zip(p.image_ids, p.point2D_idxs))
+            xyz = " ".join(f"{v:.12g}" for v in p.xyz)
+            rgb = " ".join(str(int(v)) for v in p.rgb)
+            f.write(f"{p.id} {xyz} {rgb} {p.error:.12g} {track}\n")
+
+
+# ---------------------------------------------------------------------------
+# dense workspace I/O (COLMAP read_write_dense.py surface): depth / normal
+# maps are stored as an ASCII "W&H&C&" header followed by float32 data laid
+# out so that reshape((W,H,C), order="F").transpose(1,0,2) yields [H,W,C].
+
+def read_array(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        header = b""
+        while header.count(b"&") < 3:
+            c = f.read(1)
+            if not c:
+                raise ValueError(f"truncated dense-map header in {path}")
+            header += c
+        w, h, ch = (int(x) for x in header.decode().split("&")[:3])
+        data = np.fromfile(f, np.float32)
+    if data.size != w * h * ch:
+        raise ValueError(
+            f"{path}: expected {w * h * ch} floats, got {data.size}")
+    arr = data.reshape((w, h, ch), order="F")
+    return np.transpose(arr, (1, 0, 2)).squeeze()
+
+
+def write_array(path: str, array: np.ndarray):
+    arr = np.asarray(array, np.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, ch = arr.shape
+    with open(path, "wb") as f:
+        f.write(f"{w}&{h}&{ch}&".encode())
+        # invert read_array: data reshaped (W,H,C) order="F" then transposed
+        # to [H,W,C] -> store the [W,H,C] transpose flattened in F order
+        np.transpose(arr, (1, 0, 2)).reshape(-1, order="F").astype(
+            np.float32).tofile(f)
+
+
+# ---------------------------------------------------------------------------
+# fused point cloud I/O (COLMAP read_write_fused_vis.py surface):
+# fused.ply = binary little-endian PLY (x y z nx ny nz r g b), fused.ply.vis
+# = uint64 count then per point uint32 n + n uint32 source-image indices.
+
+@dataclass
+class MeshPoint:
+    position: np.ndarray      # [3] float32
+    normal: np.ndarray        # [3] float32
+    color: np.ndarray         # [3] uint8
+    visible_image_idxs: np.ndarray  # [n] uint32
+
+
+def write_fused(points: List[MeshPoint], ply_path: str, vis_path: str):
+    with open(ply_path, "wb") as f:
+        f.write(
+            b"ply\nformat binary_little_endian 1.0\n"
+            + f"element vertex {len(points)}\n".encode()
+            + b"property float x\nproperty float y\nproperty float z\n"
+            b"property float nx\nproperty float ny\nproperty float nz\n"
+            b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            b"end_header\n")
+        for p in points:
+            f.write(struct.pack("<6f", *np.asarray(p.position, np.float32),
+                                *np.asarray(p.normal, np.float32)))
+            f.write(struct.pack("<3B", *np.asarray(p.color, np.uint8)))
+    with open(vis_path, "wb") as f:
+        f.write(struct.pack("<Q", len(points)))
+        for p in points:
+            idxs = np.asarray(p.visible_image_idxs, np.uint32)
+            f.write(struct.pack("<I", idxs.size))
+            f.write(idxs.tobytes())
+
+
+def read_fused(ply_path: str, vis_path: str) -> List[MeshPoint]:
+    with open(ply_path, "rb") as f:
+        n_vertex = 0
+        while True:
+            line = f.readline().strip()
+            if line.startswith(b"element vertex"):
+                n_vertex = int(line.split()[-1])
+            if line == b"end_header":
+                break
+        rec = np.dtype([("xyz", "<f4", 3), ("normal", "<f4", 3),
+                        ("rgb", "u1", 3)])
+        verts = np.frombuffer(f.read(rec.itemsize * n_vertex), rec)
+    points = []
+    with open(vis_path, "rb") as f:
+        (n_vis,) = struct.unpack("<Q", f.read(8))
+        if n_vis != n_vertex:
+            raise ValueError(
+                f"vis file has {n_vis} entries for {n_vertex} vertices")
+        for i in range(n_vertex):
+            (n,) = struct.unpack("<I", f.read(4))
+            idxs = np.frombuffer(f.read(4 * n), np.uint32)
+            points.append(MeshPoint(
+                position=verts["xyz"][i].copy(),
+                normal=verts["normal"][i].copy(),
+                color=verts["rgb"][i].copy(),
+                visible_image_idxs=idxs.copy(),
+            ))
+    return points

@@ -92,3 +92,116 @@ def test_colmap2nerf_cli(tmp_path):
     assert "camera_angle_x" in data
     m = np.asarray(data["frames"][0]["transform_matrix"])
     assert m.shape == (4, 4)
+
+
+def test_points3d_txt_roundtrip(tmp_path):
+    from nerf_tpu.utils.colmap import (
+        Point3D, read_points3d_txt, write_points3d_txt,
+    )
+
+    pts = {
+        7: Point3D(id=7, xyz=np.array([0.1, -2.5, 3.0]),
+                   rgb=np.array([10, 20, 30], np.uint8), error=0.5,
+                   image_ids=np.array([1, 2], np.int64),
+                   point2D_idxs=np.array([4, 9], np.int64)),
+        9: Point3D(id=9, xyz=np.array([1.0, 2.0, -3.5]),
+                   rgb=np.array([255, 0, 128], np.uint8), error=1.25,
+                   image_ids=np.array([3], np.int64),
+                   point2D_idxs=np.array([0], np.int64)),
+    }
+    p = str(tmp_path / "points3D.txt")
+    write_points3d_txt(p, pts)
+    got = read_points3d_txt(p)
+    assert set(got) == {7, 9}
+    for k in pts:
+        np.testing.assert_allclose(got[k].xyz, pts[k].xyz)
+        np.testing.assert_array_equal(got[k].rgb, pts[k].rgb)
+        assert got[k].error == pts[k].error
+        np.testing.assert_array_equal(got[k].image_ids, pts[k].image_ids)
+
+
+def test_dense_array_roundtrip(tmp_path):
+    """COLMAP dense depth/normal map format (read_write_dense.py parity)."""
+    from nerf_tpu.utils.colmap import read_array, write_array
+
+    rng = np.random.RandomState(0)
+    depth = rng.rand(5, 7).astype(np.float32)          # [H, W]
+    normal = rng.rand(5, 7, 3).astype(np.float32)      # [H, W, 3]
+    for name, arr in [("d.bin", depth), ("n.bin", normal)]:
+        p = str(tmp_path / name)
+        write_array(p, arr)
+        got = read_array(p)
+        assert got.shape == arr.shape
+        np.testing.assert_allclose(got, arr)
+    # header check: W&H&C&
+    with open(str(tmp_path / "d.bin"), "rb") as f:
+        assert f.read(6) == b"7&5&1&"
+
+
+def test_fused_vis_roundtrip(tmp_path):
+    """fused.ply + fused.ply.vis (read_write_fused_vis.py parity)."""
+    from nerf_tpu.utils.colmap import MeshPoint, read_fused, write_fused
+
+    rng = np.random.RandomState(1)
+    pts = [
+        MeshPoint(position=rng.rand(3).astype(np.float32),
+                  normal=rng.rand(3).astype(np.float32),
+                  color=rng.randint(0, 255, 3).astype(np.uint8),
+                  visible_image_idxs=np.asarray(v, np.uint32))
+        for v in ([0, 3, 5], [], [1])
+    ]
+    ply, vis = str(tmp_path / "fused.ply"), str(tmp_path / "fused.ply.vis")
+    write_fused(pts, ply, vis)
+    got = read_fused(ply, vis)
+    assert len(got) == 3
+    for a, b in zip(got, pts):
+        np.testing.assert_allclose(a.position, b.position)
+        np.testing.assert_allclose(a.normal, b.normal)
+        np.testing.assert_array_equal(a.color, b.color)
+        np.testing.assert_array_equal(a.visible_image_idxs,
+                                      b.visible_image_idxs)
+
+
+def test_colmap_database_roundtrip(tmp_path):
+    """COLMAP SQLite schema (database.py parity): cameras, images,
+    keypoints, descriptors, matches, two-view geometry, pair ids."""
+    from nerf_tpu.utils.colmap_database import (
+        COLMAPDatabase, image_ids_to_pair_id, pair_id_to_image_ids,
+    )
+
+    db = COLMAPDatabase.connect(str(tmp_path / "db.db"))
+    db.create_tables()
+    rng = np.random.RandomState(2)
+
+    cam1 = db.add_camera(model=1, width=800, height=600,
+                         params=[500.0, 400.0, 300.0, 0.1])
+    cam2 = db.add_camera(model=0, width=640, height=480,
+                         params=[400.0, 320.0, 240.0])
+    im1 = db.add_image("a.png", cam1)
+    im2 = db.add_image("b.png", cam2)
+
+    kp1 = rng.rand(32, 2).astype(np.float32) * 800
+    desc1 = rng.randint(0, 256, (32, 128)).astype(np.uint8)
+    db.add_keypoints(im1, kp1)
+    db.add_descriptors(im1, desc1)
+    matches = rng.randint(0, 32, (10, 2)).astype(np.uint32)
+    db.add_matches(im2, im1, matches)  # reversed ids: columns must swap
+    db.add_two_view_geometry(im1, im2, matches)
+    db.commit()
+
+    cams = db.read_cameras()
+    assert cams[cam1]["width"] == 800
+    np.testing.assert_allclose(cams[cam2]["params"], [400.0, 320.0, 240.0])
+    imgs = db.read_images()
+    assert imgs[im1]["name"] == "a.png" and imgs[im2]["camera_id"] == cam2
+    np.testing.assert_allclose(db.read_keypoints(im1), kp1)
+    np.testing.assert_array_equal(db.read_descriptors(im1), desc1)
+    # matches stored canonically (smaller id first); reading back with the
+    # same reversed order returns the original column order
+    np.testing.assert_array_equal(db.read_matches(im2, im1), matches)
+    np.testing.assert_array_equal(db.read_matches(im1, im2),
+                                  matches[:, ::-1])
+
+    pid = image_ids_to_pair_id(im2, im1)
+    assert pair_id_to_image_ids(pid) == (min(im1, im2), max(im1, im2))
+    db.close()
