@@ -139,23 +139,20 @@ def test_geo_cross_entropy_prefers_target_vertex():
     b, kq = 1, 3  # 4*kq polygon points
     poly = rng.rand(b, 4 * kq, 2)
     target = np.array([[1, 0, 2, 1]])
-    # logits peaked exactly on the gaussian kernel -> lower loss than uniform
-    out_uniform = np.zeros((b, 4 * kq, 4))
+    # logits live in [b, k', 4]: a distribution over the k' polygon points
+    # of each quarter. Peaking them on the loss's own gaussian kernel must
+    # score lower than uniform logits.
+    out_uniform = np.zeros((b, kq, 4))
 
-    # build the kernel the loss uses, peak logits there
     poly4 = poly.reshape(b, 4, kq, 2)
     tgt = np.stack([poly4[0, q, target[0, q]] for q in range(4)])[None]
     sigma = ((poly4[:, :, 0] - poly4[:, :, 1]) ** 2).sum(-1, keepdims=True)
     kernel = np.exp(-((poly4 - tgt[:, :, None]) ** 2).sum(-1) / (sigma / 3))
-    out_peaked = 10.0 * kernel.transpose(0, 2, 1).repeat(1, axis=0)
-    out_peaked = np.ascontiguousarray(
-        np.swapaxes(out_peaked, 1, 1))  # [b,kq,4] -> need [b,k,n]=[1,?,?]
+    out_peaked = 10.0 * kernel.transpose(0, 2, 1)  # [b, kq, 4]
 
     l_uni = float(L.geo_cross_entropy_loss(
-        jnp.asarray(out_uniform.transpose(0, 2, 1)), jnp.asarray(target),
-        jnp.asarray(poly)))
+        jnp.asarray(out_uniform), jnp.asarray(target), jnp.asarray(poly)))
     l_peak = float(L.geo_cross_entropy_loss(
-        jnp.asarray(out_peaked.transpose(0, 2, 1)), jnp.asarray(target),
-        jnp.asarray(poly)))
+        jnp.asarray(out_peaked), jnp.asarray(target), jnp.asarray(poly)))
     assert np.isfinite(l_uni) and np.isfinite(l_peak)
     assert l_peak < l_uni
