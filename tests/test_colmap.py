@@ -205,3 +205,107 @@ def test_colmap_database_roundtrip(tmp_path):
     pid = image_ids_to_pair_id(im2, im1)
     assert pair_id_to_image_ids(pid) == (min(im1, im2), max(im1, im2))
     db.close()
+
+
+def _tiny_model():
+    from nerf_tpu.utils.colmap import Camera, Image, Point3D, rotmat2qvec
+
+    rng = np.random.RandomState(5)
+    cams = {1: Camera(id=1, model="SIMPLE_PINHOLE", width=64, height=48,
+                      params=np.array([50.0, 32.0, 24.0]))}
+    imgs = {}
+    for i in (1, 2):
+        theta = 0.3 * i
+        R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                      [np.sin(theta), np.cos(theta), 0], [0, 0, 1.0]])
+        imgs[i] = Image(id=i, qvec=rotmat2qvec(R),
+                        tvec=rng.rand(3), camera_id=1, name=f"im{i}.png")
+    pts = {3: Point3D(id=3, xyz=np.array([0.5, -0.25, 2.0]),
+                      rgb=np.array([200, 100, 50], np.uint8), error=0.1,
+                      image_ids=np.array([1, 2]),
+                      point2D_idxs=np.array([7, 9]))}
+    return cams, imgs, pts
+
+
+def test_export_bundler_and_nvm(tmp_path):
+    from nerf_tpu.utils.colmap import qvec2rotmat
+    from nerf_tpu.utils.colmap_export import write_bundler, write_nvm
+
+    cams, imgs, pts = _tiny_model()
+    bpath = str(tmp_path / "bundle.out")
+    write_bundler(bpath, cams, imgs, pts, list_path=str(tmp_path / "list.txt"))
+    lines = open(bpath).read().splitlines()
+    assert lines[0].startswith("# Bundle file v0.3")
+    n_cam, n_pts = (int(x) for x in lines[1].split())
+    assert n_cam == 2 and n_pts == 1
+    # camera block: f-line + 3 R rows + t; flip-yz applied consistently
+    f0 = float(lines[2].split()[0])
+    assert f0 == 50.0
+    R_read = np.array([[float(v) for v in lines[2 + r].split()]
+                       for r in (1, 2, 3)])
+    want = np.diag([1.0, -1.0, -1.0]) @ qvec2rotmat(imgs[1].qvec)
+    np.testing.assert_allclose(R_read, want, atol=1e-8)
+    # point block: xyz / rgb / track of 2 views
+    assert lines[-1].split()[0] == "2"
+    assert open(str(tmp_path / "list.txt")).read().split() == [
+        "im1.png", "im2.png"]
+
+    npath = str(tmp_path / "model.nvm")
+    write_nvm(npath, cams, imgs, pts)
+    nl = open(npath).read().splitlines()
+    assert nl[0] == "NVM_V3" and int(nl[2]) == 2
+    # camera center = -R^T t
+    rec = nl[3].split()
+    c_read = np.array([float(v) for v in rec[6:9]])
+    R = qvec2rotmat(imgs[1].qvec)
+    np.testing.assert_allclose(c_read, -R.T @ imgs[1].tvec, atol=1e-8)
+
+
+def test_export_inliers_and_merge_ply(tmp_path):
+    from nerf_tpu.utils.colmap import MeshPoint, write_fused, read_fused
+    from nerf_tpu.utils.colmap_database import COLMAPDatabase
+    from nerf_tpu.utils.colmap_export import (
+        export_inlier_matches, export_inlier_pairs, merge_ply_files,
+    )
+
+    db = COLMAPDatabase.connect(str(tmp_path / "db.db"))
+    db.create_tables()
+    cam = db.add_camera(0, 64, 48, [50.0, 32.0, 24.0])
+    i1, i2 = db.add_image("a.png", cam), db.add_image("b.png", cam)
+    rng = np.random.RandomState(6)
+    m = rng.randint(0, 30, (20, 2)).astype(np.uint32)
+    db.add_two_view_geometry(i1, i2, m)
+    db.commit()
+
+    mp = str(tmp_path / "matches.txt")
+    export_inlier_matches(db, mp, min_num_matches=15)
+    lines = open(mp).read().splitlines()
+    assert lines[0] == "a.png b.png 20" and len(lines) == 21
+    # threshold filters the pair out
+    export_inlier_matches(db, mp, min_num_matches=25)
+    assert open(mp).read() == ""
+    pp = str(tmp_path / "pairs.txt")
+    export_inlier_pairs(db, pp)
+    assert open(pp).read().strip() == "a.png b.png"
+
+    # PLY merge: two fused clouds -> one with summed vertex count
+    def cloud(n, seed):
+        r = np.random.RandomState(seed)
+        return [MeshPoint(position=r.rand(3).astype(np.float32),
+                          normal=r.rand(3).astype(np.float32),
+                          color=r.randint(0, 255, 3).astype(np.uint8),
+                          visible_image_idxs=np.zeros(0, np.uint32))
+                for _ in range(n)]
+
+    c1, c2 = cloud(3, 1), cloud(2, 2)
+    for name, c in (("a", c1), ("b", c2)):
+        write_fused(c, str(tmp_path / f"{name}.ply"),
+                    str(tmp_path / f"{name}.ply.vis"))
+    merged = str(tmp_path / "merged.ply")
+    merge_ply_files([str(tmp_path / "a.ply"), str(tmp_path / "b.ply")], merged)
+    # write a matching .vis so read_fused can parse the merged cloud
+    write_fused(c1 + c2, str(tmp_path / "ref.ply"),
+                str(tmp_path / "merged.ply.vis"))
+    got = read_fused(merged, str(tmp_path / "merged.ply.vis"))
+    assert len(got) == 5
+    np.testing.assert_allclose(got[3].position, c2[0].position)
