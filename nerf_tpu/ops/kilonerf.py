@@ -123,6 +123,33 @@ def _dispatch(ids: jnp.ndarray, G: int, capacity: int):
     return slot, gather_idx.reshape(G, capacity), slot_valid.reshape(G, capacity)
 
 
+def mlp_grouped(params: Dict, xg: jnp.ndarray, dg: jnp.ndarray,
+                cfg: KiloConfig) -> jnp.ndarray:
+    """Batched tiny-MLP evaluation over grouped slots.
+
+    xg/dg [G, C, 3] local coords and dirs per network slot -> raw [G, C, 4].
+    One einsum per layer on the MXU (the analog of MAGMA's vbatched sgemm,
+    reference multimatmul.cu:244-361).
+    """
+    emb_x = freq_encode(xg, cfg.xyz_freqs)   # [G, C, 63]
+    emb_d = freq_encode(dg, cfg.dir_freqs)   # [G, C, 27]
+
+    def bmm(x, layer):
+        return (
+            jnp.einsum("gci,gio->gco", x, layer["w"],
+                       preferred_element_type=jnp.float32)
+            + layer["b"][:, None, :]
+        )
+
+    h = jax.nn.relu(bmm(emb_x, params["l1"]))
+    h = jax.nn.relu(bmm(h, params["l2"]))
+    out3 = bmm(h, params["l3"])              # [G, C, hidden+1]
+    feat, sigma = out3[..., :-1], out3[..., -1:]
+    h = jax.nn.relu(bmm(jnp.concatenate([feat, emb_d], -1), params["l4"]))
+    rgb = bmm(h, params["l5"])               # [G, C, 3]
+    return jnp.concatenate([rgb, sigma], -1)  # [G, C, 4]
+
+
 @partial(jax.jit, static_argnames=("cfg", "capacity"))
 def kilonerf_eval(
     params: Dict,
@@ -149,24 +176,7 @@ def kilonerf_eval(
     xg = local[gather_idx.reshape(-1)].reshape(G, capacity, 3)
     dg = dirs[gather_idx.reshape(-1)].reshape(G, capacity, 3)
 
-    emb_x = freq_encode(xg, cfg.xyz_freqs)   # [G, C, 63]
-    emb_d = freq_encode(dg, cfg.dir_freqs)   # [G, C, 27]
-
-    def bmm(x, layer):
-        return (
-            jnp.einsum("gci,gio->gco", x, layer["w"],
-                       preferred_element_type=jnp.float32)
-            + layer["b"][:, None, :]
-        )
-
-    h = jax.nn.relu(bmm(emb_x, params["l1"]))
-    h = jax.nn.relu(bmm(h, params["l2"]))
-    out3 = bmm(h, params["l3"])              # [G, C, hidden+1]
-    feat, sigma = out3[..., :-1], out3[..., -1:]
-    h = jax.nn.relu(bmm(jnp.concatenate([feat, emb_d], -1), params["l4"]))
-    rgb = bmm(h, params["l5"])               # [G, C, 3]
-
-    raw_slots = jnp.concatenate([rgb, sigma], -1)  # [G, C, 4]
+    raw_slots = mlp_grouped(params, xg, dg, cfg)   # [G, C, 4]
     raw_slots = jnp.where(slot_valid[..., None], raw_slots, 0.0)
 
     # scatter back to point order (reference scatter_int32_float4); empty
