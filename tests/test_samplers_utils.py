@@ -60,3 +60,28 @@ def test_image_utils():
     assert to8b(np.array([0.0, 0.5, 2.0])).tolist() == [0, 127, 255]
     d = colorize_depth(np.random.rand(5, 5))
     assert d.shape == (5, 5, 3) and d.min() >= 0 and d.max() <= 1
+
+
+def test_vis_utils_projection():
+    import numpy as np
+    from nerf_tpu.utils.vis_utils import (
+        get_bbox_2d, get_bound_2d_mask, get_bound_corners, project,
+    )
+
+    bounds = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    corners = get_bound_corners(bounds)
+    assert corners.shape == (8, 3)
+    assert set(map(tuple, corners)) == {
+        (x, y, z) for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)}
+
+    K = np.array([[50.0, 0, 32.0], [0, 50.0, 24.0], [0, 0, 1.0]])
+    RT = np.eye(4)
+    RT[2, 3] = 4.0  # camera 4 units back, box at origin, z forward
+    uv = project(np.zeros((1, 3)), K, RT)
+    np.testing.assert_allclose(uv[0], [32.0, 24.0])  # center projects to pp
+
+    bb = get_bbox_2d(bounds, K, RT)
+    assert bb[0] < 32 < bb[2] and bb[1] < 24 < bb[3]
+    mask = get_bound_2d_mask(bounds, K, RT, 48, 64)
+    assert mask.shape == (48, 64)
+    assert mask[24, 32] == 1 and mask[0, 0] == 0
