@@ -55,3 +55,45 @@ def colorize_depth(depth: np.ndarray, near: float = None, far: float = None,
         return np.asarray(cm.get_cmap(cmap)(t))[..., :3].astype(np.float32)
     except Exception:
         return np.stack([t, t, t], axis=-1)
+
+
+def read_pfm(path):
+    """Read a PFM (portable float map) -> (array [H,W(,3)], scale).
+
+    Parity surface: reference ``src/utils/data_utils.py::read_pfm``. PFM
+    stores bottom-to-top rows; sign of the scale encodes endianness.
+    """
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        if header == b"PF":
+            channels = 3
+        elif header == b"Pf":
+            channels = 1
+        else:
+            raise ValueError(f"{path}: not a PFM file (header {header!r})")
+        line = f.readline().strip()
+        while line.startswith(b"#"):
+            line = f.readline().strip()
+        w, h = (int(v) for v in line.split())
+        scale = float(f.readline().strip())
+        dtype = "<f4" if scale < 0 else ">f4"
+        data = np.frombuffer(f.read(4 * w * h * channels), dtype)
+    shape = (h, w, 3) if channels == 3 else (h, w)
+    return np.ascontiguousarray(data.reshape(shape)[::-1]), abs(scale)
+
+
+def write_pfm(path, image, scale=1.0):
+    """Write a PFM file (little-endian; rows stored bottom-to-top)."""
+    image = np.asarray(image, np.float32)
+    if image.ndim == 3 and image.shape[2] == 3:
+        header = b"PF"
+    elif image.ndim == 2 or (image.ndim == 3 and image.shape[2] == 1):
+        header = b"Pf"
+        image = image.reshape(image.shape[0], image.shape[1])
+    else:
+        raise ValueError(f"unsupported PFM shape {image.shape}")
+    with open(path, "wb") as f:
+        f.write(header + b"\n")
+        f.write(f"{image.shape[1]} {image.shape[0]}\n".encode())
+        f.write(f"{-abs(scale)}\n".encode())
+        f.write(image[::-1].astype("<f4").tobytes())

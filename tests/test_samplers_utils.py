@@ -85,3 +85,18 @@ def test_vis_utils_projection():
     mask = get_bound_2d_mask(bounds, K, RT, 48, 64)
     assert mask.shape == (48, 64)
     assert mask[24, 32] == 1 and mask[0, 0] == 0
+
+
+def test_pfm_roundtrip(tmp_path):
+    import numpy as np
+    from nerf_tpu.utils.img_utils import read_pfm, write_pfm
+
+    rng = np.random.RandomState(2)
+    rgb = rng.rand(6, 9, 3).astype(np.float32)
+    gray = rng.rand(5, 4).astype(np.float32)
+    for name, arr in (("c.pfm", rgb), ("g.pfm", gray)):
+        p = str(tmp_path / name)
+        write_pfm(p, arr, scale=2.0)
+        got, scale = read_pfm(p)
+        assert scale == 2.0
+        np.testing.assert_allclose(got, arr)
