@@ -36,20 +36,15 @@ def project_bbox(wbbox: np.ndarray, K: np.ndarray, ext: np.ndarray,
     The mask marks the convex screen-space bbox of the projected corners
     (the sampling region for background rays).
     """
-    lo, hi = wbbox[:3], wbbox[3:6]
-    corners = np.array([[x, y, z] for x in (lo[0], hi[0])
-                        for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
-    cam = corners @ ext[:3, :3].T + ext[:3, 3]
-    z = np.maximum(cam[:, 2:3], 1e-6)
-    uv = (cam / z) @ K.T
-    x0, y0 = np.floor(uv[:, :2].min(0)).astype(int)
-    x1, y1 = np.ceil(uv[:, :2].max(0)).astype(int)
-    x0, y0 = max(x0, 0), max(y0, 0)
-    x1, y1 = min(x1, W - 1), min(y1, H - 1)
-    mask = np.zeros((H, W), np.uint8)
-    if x1 > x0 and y1 > y0:
-        mask[y0:y1 + 1, x0:x1 + 1] = 1
-    return np.array([x0, y0, x1, y1]), mask
+    from ..utils.vis_utils import get_bbox_2d, get_bound_2d_mask
+
+    bounds = np.asarray(wbbox, np.float64).reshape(2, 3)
+    bb = get_bbox_2d(bounds, K, ext)
+    x0, y0 = max(int(np.floor(bb[0])), 0), max(int(np.floor(bb[1])), 0)
+    x1 = min(int(np.ceil(bb[2])), W - 1)
+    y1 = min(int(np.ceil(bb[3])), H - 1)
+    return (np.array([x0, y0, x1, y1]),
+            get_bound_2d_mask(bounds, K, ext, H, W))
 
 
 class LightStageDataset:
@@ -106,6 +101,7 @@ class LightStageDataset:
         self.wbbox = np.concatenate(
             [bboxs[:, :3].min(0), bboxs[:, 3:6].max(0)]).astype(np.float32)
         self._cache: Dict[int, Tuple] = {}
+        self._region_cache: Dict[int, Tuple] = {}
 
     def __len__(self) -> int:
         return len(self.items)
@@ -194,7 +190,12 @@ class LightStageDataset:
             fg_num = self.n_rays // 2
             bg_num = self.n_rays - fg_num
             px_f, py_f = self._sample_region(fg_bbox, msk, fg_num, H, W)
-            bb2d, region = project_bbox(self.wbbox, K, ext, H, W)
+            # the projected world bbox is constant per camera — cache it
+            ci = item["camera_index"]
+            if ci not in self._region_cache:
+                self._region_cache[ci] = project_bbox(
+                    self.wbbox, K, ext, H, W)
+            bb2d, region = self._region_cache[ci]
             px_b, py_b = self._sample_region(bb2d, region, bg_num, H, W)
             px = np.concatenate([px_f, px_b])
             py = np.concatenate([py_f, py_b])

@@ -93,7 +93,9 @@ def kilonerf_eval_ep(
         send_id = jnp.where(slot_valid, pack(ids % G_loc), G_loc)  # G_loc=pad
 
         # exchange over ICI: slice d of send goes to device d
-        a2a = lambda x: jax.lax.all_to_all(x, axis, 0, 0, tiled=True)
+        def a2a(x):
+            return jax.lax.all_to_all(x, axis, 0, 0, tiled=True)
+
         recv_x, recv_d = a2a(send_x), a2a(send_d)
         recv_id = a2a(send_id)
 
