@@ -1,0 +1,36 @@
+#!/bin/bash
+# Post-training TPU sequence (ONE process at a time; run only after train.py
+# has exited). Logs to /tmp/post_train/*.log.
+set -x
+mkdir -p /tmp/post_train
+DATA=/root/reference/data/nerf_synthetic
+
+# 1. full test-set evaluation + spiral video
+timeout 3600 python -u run.py --type evaluate --cfg_file configs/nerf/lego.yaml \
+  test_dataset.data_root $DATA train_dataset.data_root $DATA \
+  write_video True > /tmp/post_train/eval.log 2>&1
+
+# 2. benchmark (XLA default + pallas variant)
+timeout 900 python -u bench.py > /tmp/post_train/bench_xla.log 2>&1
+timeout 900 python -u bench.py --pallas > /tmp/post_train/bench_pallas.log 2>&1
+
+# 3. Pallas integrate kernel TPU validation + timing
+timeout 900 python -u scripts/validate_integrate_tpu.py > /tmp/post_train/integrate.log 2>&1
+
+# 4. marched fast-inference timing (with and without compaction)
+timeout 1200 python -u run.py --type marched --cfg_file configs/nerf/lego.yaml \
+  test_dataset.data_root $DATA train_dataset.data_root $DATA \
+  > /tmp/post_train/marched.log 2>&1
+timeout 1200 python -u run.py --type marched --cfg_file configs/nerf/lego.yaml \
+  test_dataset.data_root $DATA train_dataset.data_root $DATA \
+  ess_compaction 0.4 > /tmp/post_train/marched_comp.log 2>&1
+
+# 5. KiloNeRF distillation (full budget) + fast-inference timing
+timeout 3600 python -u distill_kilonerf.py --cfg_file configs/nerf/lego.yaml \
+  test_dataset.data_root $DATA train_dataset.data_root $DATA \
+  kilo.steps 4000 > /tmp/post_train/distill.log 2>&1
+timeout 1200 python -u run.py --type network --cfg_file configs/nerf/lego_kilonerf.yaml \
+  test_dataset.data_root $DATA train_dataset.data_root $DATA \
+  > /tmp/post_train/kilo_network.log 2>&1
+
+echo DONE > /tmp/post_train/DONE

@@ -65,3 +65,16 @@ def test_defaults_complete():
         assert key in cfg
     assert cfg.task_arg.N_samples == 64
     assert cfg.network.nerf.W == 256
+
+
+def test_lego_400_coarse_config():
+    from nerf_tpu.config import make_cfg
+    from nerf_tpu.render.renderer import RenderOptions
+
+    cfg = make_cfg("configs/nerf/lego_400_coarse.yaml", [])
+    assert cfg.task_arg.N_importance == 0
+    assert cfg.train_dataset.input_ratio == 0.5
+    opts = RenderOptions.from_cfg(cfg)
+    assert opts.n_importance == 0 and opts.n_samples == 64
+    # exp dirs must not collide with the full run
+    assert "nerf_400_coarse" in cfg.trained_model_dir
