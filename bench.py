@@ -42,6 +42,8 @@ def main():
     for i, a in enumerate(sys.argv):
         if a == "--compaction" and i + 1 < len(sys.argv):
             kwargs["ess_compaction"] = float(sys.argv[i + 1])
+        if a == "--tile" and i + 1 < len(sys.argv):
+            kwargs["tile_rays"] = int(sys.argv[i + 1])
     opts = RenderOptions(**kwargs)  # lego defaults: 64+128, ESS+ERT, bf16
     params = init_nerf_params(jax.random.PRNGKey(0), opts)
 

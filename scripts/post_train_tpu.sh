@@ -10,9 +10,12 @@ timeout 3600 python -u run.py --type evaluate --cfg_file configs/nerf/lego.yaml 
   test_dataset.data_root $DATA train_dataset.data_root $DATA \
   write_video True > /tmp/post_train/eval.log 2>&1
 
-# 2. benchmark (XLA default + pallas variant)
+# 2. benchmark (XLA default + pallas variant + tile sweep)
 timeout 900 python -u bench.py > /tmp/post_train/bench_xla.log 2>&1
 timeout 900 python -u bench.py --pallas > /tmp/post_train/bench_pallas.log 2>&1
+timeout 900 python -u bench.py --tile 4096 > /tmp/post_train/bench_t4096.log 2>&1
+timeout 900 python -u bench.py --tile 16384 > /tmp/post_train/bench_t16384.log 2>&1
+timeout 900 python -u bench.py --tile 32768 > /tmp/post_train/bench_t32768.log 2>&1
 
 # 3. Pallas integrate kernel TPU validation + timing
 timeout 900 python -u scripts/validate_integrate_tpu.py > /tmp/post_train/integrate.log 2>&1
