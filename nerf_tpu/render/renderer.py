@@ -51,15 +51,14 @@ class RenderOptions:
     # the skip mask, gathered into a static-capacity buffer (fraction of
     # total points). 0 = off. Kept samples beyond capacity fall back to
     # empty (sigma=0), so keep headroom above the expected kept rate.
-    # - marched path (render/marched.py): the UNIFIED pipeline — the mask
-    #   folds in ERT-terminated rays AND empty voxels, so both optimizations
-    #   become real FLOP savings (reference's compacted DDA, SURVEY §3.4).
-    # - hierarchical path: mask = occupancy only; largely redundant with the
-    #   ESS sample REFOCUSING (which concentrates samples into occupied
-    #   space, pushing per-tile occupancy toward 100% and causing capacity
-    #   overflow) — use compaction with refocusing disabled there, or use
-    #   the marched renderer (measured: comp 0.5 with refocus on drops lego
-    #   PSNR 29.5 -> 12.7 from overflow holes).
+    # - marched path (render/marched.py): the mask folds in ERT-terminated
+    #   rays AND empty voxels per block, so both optimizations become real
+    #   FLOP savings (reference's compacted DDA, SURVEY §3.4).
+    # - hierarchical path: applies to the FINE pass only (75% of the work);
+    #   mask = occupancy AND coarse-transmittance >= ert_threshold, so the
+    #   kept fraction stays well below 1 even though ESS refocusing makes
+    #   nearly every sample land in occupied space. The coarse pass stays
+    #   dense (refocused samples are ~all occupied by construction).
     ess_compaction: float = 0.0
     # network family: "nerf" (coarse+fine big MLP) or "kilonerf" (voxel-
     # routed tiny MLPs, ops/kilonerf.py — the reference's network_eval.cu /
@@ -324,15 +323,14 @@ def render_rays(
         )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., None]
 
-    # 2. coarse network query + compositing (optionally ESS-compacted)
+    # 2. coarse network query + compositing. The coarse pass stays dense:
+    # ESS refocusing (step 1) already concentrates its samples into
+    # occupied space, so an occupancy-mask compaction would keep ~100% of
+    # them and only risk overflow holes.
     use_compaction = (
         opts.enable_ess and grid is not None and opts.ess_compaction > 0.0
     )
-    if use_compaction:
-        raw = query_with_compaction(
-            query_fn, params["coarse"], pts, viewdirs, opts, grid)
-    else:
-        raw = query_fn(params["coarse"], pts, viewdirs, opts)
+    raw = query_fn(params["coarse"], pts, viewdirs, opts)
     ert = opts.ert_threshold if opts.enable_ert else None
     out_c = composite(
         raw, z_vals, rays_d,
@@ -360,8 +358,27 @@ def render_rays(
         z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
         pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., None]
         if use_compaction:
-            raw_f = query_with_compaction(
-                query_fn, params["fine"], pts_f, viewdirs, opts, grid)
+            # Unified fine-pass compaction (the hierarchical analog of the
+            # reference's compacted DDA pipeline): skip fine queries in
+            # empty voxels AND past the depth where the coarse pass says
+            # transmittance has fallen below the ERT threshold — samples the
+            # ERT composite would zero anyway. Terminated samples drop out
+            # of the kept set, so the capacity survives ESS refocusing.
+            mask = occ.query(grid, pts_f.reshape(-1, 3)).reshape(z_all.shape)
+            if opts.enable_ert:
+                # T after coarse sample i is 1 - sum_{j<=i} w_j; step-wise
+                # estimate at each fine z from the preceding coarse sample
+                cum_w = jnp.cumsum(out_c["weights"], axis=-1)
+                idx = jax.vmap(jnp.searchsorted)(z_vals, z_all)  # [N, Sf]
+                t_est = 1.0 - jnp.take_along_axis(
+                    cum_w, jnp.maximum(idx - 1, 0), axis=-1)
+                t_est = jnp.where(idx > 0, t_est, 1.0)
+                mask = mask & (jax.lax.stop_gradient(t_est)
+                               >= opts.ert_threshold)
+            cap = compaction_capacity(z_all.shape[0] * z_all.shape[1],
+                                      opts.ess_compaction)
+            raw_f = query_masked_compacted(
+                query_fn, params["fine"], pts_f, viewdirs, opts, mask, cap)
         else:
             raw_f = query_fn(params["fine"], pts_f, viewdirs, opts)
         out_f = composite(

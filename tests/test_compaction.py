@@ -87,3 +87,45 @@ def test_compaction_gradients():
     g = jax.grad(loss)(params["coarse"])
     gw = np.asarray(g["pts_linears"][0]["w"])
     assert np.isfinite(gw).all() and (gw != 0).any()
+
+
+def test_fine_pass_ert_compaction_matches_dense():
+    """Hierarchical compaction (fine pass, occ & coarse-T mask) must match
+    the dense ERT render when capacity is generous: the skipped samples are
+    exactly the ones the ERT composite zeroes."""
+    import dataclasses
+
+    opts = RenderOptions(
+        n_samples=16, n_importance=16, compute_dtype="float32",
+        enable_ess=True, enable_ert=True, ert_threshold=0.01,
+        use_pallas=False, perturb=0.0, ess_compaction=0.9,
+    )
+    params = init_nerf_params(jax.random.PRNGKey(3), opts)
+    # share density between coarse and fine so the coarse-T estimate is
+    # faithful, and bias it up so rays actually terminate (ERT engages)
+    params["fine"] = params["coarse"]
+    params["coarse"]["alpha_linear"]["b"] = (
+        params["coarse"]["alpha_linear"]["b"] + 4.0)
+
+    grid = occ.full_grid(32)
+    rng = np.random.RandomState(4)
+    rays_o = jnp.asarray(np.tile([0.0, 0.0, 4.0], (64, 1)).astype(np.float32))
+    d = rng.randn(64, 3).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(d)
+
+    out_comp = render_rays(params, rays_o, rays_d, jax.random.PRNGKey(0),
+                           opts, grid=grid)
+    out_full = render_rays(params, rays_o, rays_d, jax.random.PRNGKey(0),
+                           dataclasses.replace(opts, ess_compaction=0.0),
+                           grid=grid)
+    np.testing.assert_allclose(np.asarray(out_comp["rgb_map"]),
+                               np.asarray(out_full["rgb_map"]),
+                               rtol=5e-3, atol=5e-3)
+    # the compaction must have real headroom: kept fraction < capacity
+    # (dense rays with +4 bias terminate within a few samples)
+    cw = np.asarray(out_full["coarse_weights"])
+    t_after = 1.0 - np.cumsum(cw, -1)
+    kept = (t_after >= 0.01).mean()
+    assert kept < 0.6  # most fine samples are past termination
