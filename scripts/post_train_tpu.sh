@@ -16,6 +16,8 @@ timeout 900 python -u bench.py --pallas > /tmp/post_train/bench_pallas.log 2>&1
 timeout 900 python -u bench.py --tile 4096 > /tmp/post_train/bench_t4096.log 2>&1
 timeout 900 python -u bench.py --tile 16384 > /tmp/post_train/bench_t16384.log 2>&1
 timeout 900 python -u bench.py --tile 32768 > /tmp/post_train/bench_t32768.log 2>&1
+timeout 900 python -u bench.py --compaction 0.5 > /tmp/post_train/bench_comp05.log 2>&1
+timeout 900 python -u bench.py --compaction 0.35 > /tmp/post_train/bench_comp035.log 2>&1
 
 # 3. Pallas integrate kernel TPU validation + timing
 timeout 900 python -u scripts/validate_integrate_tpu.py > /tmp/post_train/integrate.log 2>&1
