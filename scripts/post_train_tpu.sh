@@ -19,6 +19,12 @@ timeout 900 python -u bench.py --tile 32768 > /tmp/post_train/bench_t32768.log 2
 timeout 900 python -u bench.py --compaction 0.5 > /tmp/post_train/bench_comp05.log 2>&1
 timeout 900 python -u bench.py --compaction 0.35 > /tmp/post_train/bench_comp035.log 2>&1
 
+# 2b. compaction quality check on a small frame subset
+timeout 1200 python -u run.py --type evaluate --cfg_file configs/nerf/lego.yaml \
+  test_dataset.data_root $DATA train_dataset.data_root $DATA \
+  test_dataset.cams "[0,40,5]" ess_compaction 0.5 \
+  result_dir /tmp/post_train/result_comp05 > /tmp/post_train/eval_comp05.log 2>&1
+
 # 3. Pallas integrate kernel TPU validation + timing
 timeout 900 python -u scripts/validate_integrate_tpu.py > /tmp/post_train/integrate.log 2>&1
 
