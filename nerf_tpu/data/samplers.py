@@ -9,7 +9,7 @@ rank-consistent order matters.
 """
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+from typing import Iterator
 
 import numpy as np
 

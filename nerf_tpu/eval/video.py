@@ -8,7 +8,7 @@ macro_block_size 16), with a black-frame fallback per failed render.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -15,8 +15,7 @@ gradients scatter-add into the table automatically. Gathers vectorize over
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

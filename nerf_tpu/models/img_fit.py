@@ -6,7 +6,7 @@ Config surface: configs/img_fit/lego_view0.yaml.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

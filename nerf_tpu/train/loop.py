@@ -10,7 +10,6 @@ scatter updates.
 """
 from __future__ import annotations
 
-import os
 import time
 from typing import Optional
 
@@ -27,7 +26,7 @@ from ..render.renderer import RenderOptions, render_image
 from .checkpoint import load_checkpoint, save_checkpoint, wipe_dir
 from .optim import make_optimizer
 from .recorder import Recorder
-from .state import TrainState, init_state, train_steps
+from .state import init_state, train_steps
 
 
 def init_nerf_params(key, opts: RenderOptions):

@@ -9,12 +9,11 @@ merging, operating on this package's model/database types.
 """
 from __future__ import annotations
 
-import os
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
-from .colmap import Camera, Image, Point3D, qvec2rotmat, rotmat2qvec
+from .colmap import Camera, Image, Point3D, qvec2rotmat
 from .colmap_database import COLMAPDatabase, pair_id_to_image_ids
 
 # COLMAP camera convention: x right, y down, z forward.
