@@ -191,6 +191,7 @@ def train(cfg, max_epochs: Optional[int] = None):
 
     if is_main_process():
         save_checkpoint(model_dir, state, end_epoch - 1, recorder.state_dict())
+    print(f"training complete: epoch {end_epoch - 1}")
     return state, grid
 
 
