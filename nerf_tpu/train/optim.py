@@ -8,6 +8,7 @@ function of the global step (epoch = step // ep_iter).
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import optax
 
 
@@ -19,6 +20,33 @@ def exponential_epoch_schedule(base_lr: float, gamma: float, decay_epochs: int, 
     return schedule
 
 
+def warmup_multi_step_schedule(
+    base_lr: float,
+    milestone_steps,
+    gamma: float,
+    warmup_factor: float = 1.0 / 3.0,
+    warmup_iters: int = 500,
+    warmup_method: str = "linear",
+):
+    """Reference ``WarmupMultiStepLR`` (lr_scheduler.py:5-40) as a pure
+    function of the step: lr = base * warmup(step) * gamma^(#milestones
+    passed); warmup ramps from warmup_factor to 1 over warmup_iters
+    ("linear") or stays at warmup_factor ("constant")."""
+    ms = jnp.asarray(sorted(int(m) for m in milestone_steps))
+
+    def schedule(step):
+        if warmup_method == "linear":
+            alpha = jnp.clip(step / max(warmup_iters, 1), 0.0, 1.0)
+            wf = warmup_factor + (1.0 - warmup_factor) * alpha
+        else:
+            wf = jnp.asarray(warmup_factor)
+        warm = jnp.where(step < warmup_iters, wf, 1.0)
+        decay = gamma ** jnp.sum(step >= ms)
+        return base_lr * warm * decay
+
+    return schedule
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     tr = cfg.train
     sched_cfg = tr.scheduler
@@ -26,6 +54,16 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
         sched = exponential_epoch_schedule(
             float(tr.lr), float(sched_cfg.gamma), int(sched_cfg.decay_epochs),
             int(cfg.get("ep_iter", 500)),
+        )
+    elif sched_cfg.get("type") == "warmup_multi_step":
+        ep_iter = int(cfg.get("ep_iter", 500))
+        sched = warmup_multi_step_schedule(
+            float(tr.lr),
+            [int(m) * ep_iter for m in sched_cfg.milestones],
+            float(sched_cfg.gamma),
+            warmup_factor=float(sched_cfg.get("warmup_factor", 1.0 / 3.0)),
+            warmup_iters=int(sched_cfg.get("warmup_iters", 500)),
+            warmup_method=str(sched_cfg.get("warmup_method", "linear")),
         )
     else:  # multi_step
         milestones = [int(m) * int(cfg.get("ep_iter", 500)) for m in sched_cfg.milestones]

@@ -100,3 +100,35 @@ def test_pfm_roundtrip(tmp_path):
         got, scale = read_pfm(p)
         assert scale == 2.0
         np.testing.assert_allclose(got, arr)
+
+
+def test_warmup_multi_step_schedule():
+    import numpy as np
+    from nerf_tpu.train.optim import warmup_multi_step_schedule
+
+    s = warmup_multi_step_schedule(
+        1.0, milestone_steps=[100, 200], gamma=0.1,
+        warmup_factor=0.5, warmup_iters=10, warmup_method="linear")
+    assert abs(float(s(0)) - 0.5) < 1e-6           # warmup start
+    assert abs(float(s(5)) - 0.75) < 1e-6          # mid warmup
+    assert abs(float(s(10)) - 1.0) < 1e-6          # warmup done
+    assert abs(float(s(150)) - 0.1) < 1e-7         # after milestone 1
+    assert abs(float(s(250)) - 0.01) < 1e-8        # after milestone 2
+
+    sc = warmup_multi_step_schedule(
+        2.0, [50], 0.1, warmup_factor=0.25, warmup_iters=4,
+        warmup_method="constant")
+    assert abs(float(sc(2)) - 0.5) < 1e-6          # constant warmup
+    assert abs(float(sc(4)) - 2.0) < 1e-6
+
+    # wires through make_optimizer
+    from nerf_tpu.config import make_cfg
+    cfg = make_cfg("configs/nerf/lego.yaml",
+                   ["train.scheduler.type", "warmup_multi_step",
+                    "train.scheduler.milestones", "[2,4]"])
+    from nerf_tpu.train.optim import make_optimizer
+    import jax.numpy as jnp
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    _ = tx.update({"w": jnp.ones((3,))}, state, params)
