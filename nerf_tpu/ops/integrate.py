@@ -32,12 +32,27 @@ def _integrate_kernel(ert_ref, sigma_ref, rgb_ref, z_ref, dnorm_ref,
         [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1)
     dists = dists * dnorm
 
-    alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dists)
-    log_1ma = jnp.log(1.0 - alpha + 1e-10)
-    # exclusive cumsum: shift right by one lane
-    csum = jnp.cumsum(log_1ma, axis=-1)
-    excl = jnp.concatenate(
-        [jnp.zeros_like(csum[:, :1]), csum[:, :-1]], axis=-1)
+    lam = jnp.maximum(sigma, 0.0) * dists
+    alpha = 1.0 - jnp.exp(-lam)
+    # log(1 - alpha + 1e-10) = log(exp(-lam) + 1e-10) = logaddexp, computed
+    # stably and with exp/log/max only (expm1/log1p/logaddexp have no
+    # Pallas-TPU lowering). The naive form cancels catastrophically: XLA
+    # reassociates the +1e-10 into the 1.0, yielding log(0) = -inf, which
+    # turns the masked dot below into 0 * -inf = NaN.
+    log_eps = jnp.float32(-23.025850929940457)  # log(1e-10)
+    hi = jnp.maximum(-lam, log_eps)
+    lo = jnp.minimum(-lam, log_eps)
+    log_1ma = hi + jnp.log(1.0 + jnp.exp(lo - hi))
+    # exclusive cumsum over the lane axis. jnp.cumsum has no Pallas-TPU
+    # lowering; a matmul with a strictly-lower-triangular ones mask is the
+    # MXU-native formulation: excl[:, i] = sum_{j<i} log_1ma[:, j].
+    S = log_1ma.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    excl_mask = (row < col).astype(f32)
+    excl = jax.lax.dot(log_1ma, excl_mask,
+                       preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
     trans = jnp.exp(excl)
     weights = alpha * trans
 
