@@ -39,6 +39,8 @@ def main():
     kwargs = {"use_pallas": False}
     if "--pallas" in sys.argv:
         kwargs["use_pallas"] = True
+    if "--pallas-integrate" in sys.argv:
+        kwargs["use_pallas_integrate"] = True
     for i, a in enumerate(sys.argv):
         if a == "--compaction" and i + 1 < len(sys.argv):
             kwargs["ess_compaction"] = float(sys.argv[i + 1])

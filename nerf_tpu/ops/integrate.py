@@ -128,3 +128,24 @@ def integrate_pallas(
     disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
     return {"rgb_map": rgb_map, "depth_map": depth, "acc_map": acc,
             "disp_map": disp, "weights": weights}
+
+
+def composite_pallas(
+    raw: jnp.ndarray,       # [N, S, 4] (rgb_raw, sigma_raw)
+    z_vals: jnp.ndarray,    # [N, S]
+    rays_d: jnp.ndarray,    # [N, 3]
+    *,
+    white_bkgd: bool = True,
+    ert_threshold: float = 0.0,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Drop-in for ``render.composite.composite`` (noise-free, forward-only).
+
+    Same output surface minus ``transmittance`` (unused downstream).
+    """
+    return integrate_pallas(
+        raw[..., 3], raw[..., :3], z_vals, rays_d,
+        ert_threshold=ert_threshold, white_bkgd=white_bkgd,
+        tile=tile, interpret=interpret,
+    )

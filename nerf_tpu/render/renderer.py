@@ -83,6 +83,10 @@ class RenderOptions:
     compute_dtype: str = "bfloat16"
     tile_rays: int = 8192
     use_pallas: bool = True
+    # use the Pallas integration kernel (ops/integrate.py) for compositing
+    # on TPU eval paths (forward-only: the kernel has no VJP; training and
+    # noisy compositing keep the XLA composite)
+    use_pallas_integrate: bool = False
     # Detach coarse weights from the fine-sampling CDF (original-NeRF
     # semantics). The reference does NOT detach (volume_renderer.py:239-268)
     # which lets the fine loss push the coarse model into a degenerate
@@ -142,6 +146,7 @@ class RenderOptions:
             compute_dtype=str(cfg.network.get("dtype", "bfloat16")),
             tile_rays=int(cfg.get("render_tile_rays", 8192)),
             use_pallas=bool(cfg.get("use_pallas_kernels", True)),
+            use_pallas_integrate=bool(cfg.get("use_pallas_integrate", False)),
         )
 
 
@@ -332,11 +337,26 @@ def render_rays(
     )
     raw = query_fn(params["coarse"], pts, viewdirs, opts)
     ert = opts.ert_threshold if opts.enable_ert else None
-    out_c = composite(
-        raw, z_vals, rays_d,
-        raw_noise_std=opts.raw_noise_std, noise_key=k_noise_c,
-        white_bkgd=opts.white_bkgd, ert_threshold=ert,
-    )
+
+    # compositing backend: the Pallas integration kernel is forward-only
+    # and noise-free — eval path on TPU only; everything else is XLA
+    if (opts.use_pallas_integrate and not train
+            and opts.raw_noise_std == 0.0
+            and jax.default_backend() not in ("cpu", "gpu", "cuda")):
+        from ..ops.integrate import composite_pallas
+
+        def composite_fn(raw_, z_, noise_key):
+            return composite_pallas(
+                raw_, z_, rays_d, white_bkgd=opts.white_bkgd,
+                ert_threshold=0.0 if ert is None else ert)
+    else:
+        def composite_fn(raw_, z_, noise_key):
+            return composite(
+                raw_, z_, rays_d,
+                raw_noise_std=opts.raw_noise_std, noise_key=noise_key,
+                white_bkgd=opts.white_bkgd, ert_threshold=ert)
+
+    out_c = composite_fn(raw, z_vals, k_noise_c)
     ret = {
         "rgb_map_0": out_c["rgb_map"],
         "disp_map_0": out_c["disp_map"],
@@ -381,11 +401,7 @@ def render_rays(
                 query_fn, params["fine"], pts_f, viewdirs, opts, mask, cap)
         else:
             raw_f = query_fn(params["fine"], pts_f, viewdirs, opts)
-        out_f = composite(
-            raw_f, z_all, rays_d,
-            raw_noise_std=opts.raw_noise_std, noise_key=k_noise_f,
-            white_bkgd=opts.white_bkgd, ert_threshold=ert,
-        )
+        out_f = composite_fn(raw_f, z_all, k_noise_f)
         ret.update(
             rgb_map=out_f["rgb_map"],
             disp_map=out_f["disp_map"],
