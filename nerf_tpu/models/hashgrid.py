@@ -10,8 +10,15 @@ Parity targets in the reference:
   in the table, hashing otherwise (hashencoder.cu:36-76).
 
 TPU-native: the table is one [L, T, F] array; lookups are XLA gathers and
-gradients scatter-add into the table automatically. Gathers vectorize over
-(points x 8 corners x L levels).
+gradients scatter-add into the table automatically.
+
+Performance note (measured on v5e): XLA lowers TPU gathers to ~13M
+*scalars*/s fp32 (~26M bf16) regardless of row width, table size, or index
+locality — the hash lookup is gather-latency bound, not FLOP or bandwidth
+bound. Hence: (a) the table defaults to bfloat16 (tcnn keeps fp16 tables,
+hashencoder/hashgrid.py:15-118 casts to half — parity), (b) all levels are
+fetched in ONE flat row gather, (c) pair hashgrid configs with fine-pass
+ESS compaction (RenderOptions.ess_compaction) to cut queried points.
 """
 from __future__ import annotations
 
@@ -43,12 +50,13 @@ def init_hashgrid(
     base_resolution: int = 16,
     per_level_scale: float = 1.3819,
     init_scale: float = 1e-4,
+    dtype=jnp.bfloat16,
 ) -> Dict:
     """Returns {table: [L, T, F], meta...}; table init U(-1e-4, 1e-4)."""
     T = 1 << log2_table_size
     table = jax.random.uniform(
         key, (n_levels, T, n_features), jnp.float32, -init_scale, init_scale
-    )
+    ).astype(dtype)
     # only the trainable table lives in the param pytree; level geometry is
     # derived statically from the config (level_resolutions) so optimizers
     # never see integer leaves
@@ -116,17 +124,21 @@ def hashgrid_encode(
     corners = x0[:, :, None, :] + offs[None, None]  # [L, N, 2^D, D]
 
     idx = jax.vmap(lambda c, r: _corner_index(c, r, T))(corners, res)  # [L, N, 2^D]
-    feats = jnp.take_along_axis(
-        table[:, :, None, :].reshape(L, T, F),
-        idx.reshape(L, -1, 1),
-        axis=1,
-    ).reshape(L, *idx.shape[1:], F)  # [L, N, 2^D, F]
+    # one flat row gather over all (level, point, corner) triples — TPU
+    # gathers are scalar-latency bound, so never gather feature elements
+    # separately (take_along_axis with a size-1 trailing index dim does)
+    flat_idx = (
+        idx + (jnp.arange(L, dtype=idx.dtype) * T)[:, None, None]
+    ).reshape(-1)
+    feats = table.reshape(L * T, F)[flat_idx].reshape(
+        L, *idx.shape[1:], F
+    )  # [L, N, 2^D, F]
 
-    # trilinear weights per corner
+    # trilinear weights per corner (interpolate in f32 whatever the table)
     w = jnp.where(offs[None, None] == 1, frac[:, :, None, :],
                   1.0 - frac[:, :, None, :])  # [L, N, 8, 3]
     w = jnp.prod(w, axis=-1, keepdims=True)  # [L, N, 8, 1]
-    out = jnp.sum(feats * w, axis=2)  # [L, N, F]
+    out = jnp.sum(feats.astype(w.dtype) * w, axis=2)  # [L, N, F]
     return jnp.moveaxis(out, 0, 1).reshape(x.shape[0], L * F)
 
 

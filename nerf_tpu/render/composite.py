@@ -22,6 +22,31 @@ import jax
 import jax.numpy as jnp
 
 
+def density_activation(sigma: jnp.ndarray, kind: str = "relu") -> jnp.ndarray:
+    """raw sigma -> nonnegative density.
+
+    "relu" is reference parity (volume_renderer.py:288). "softplus" is the
+    non-dying alternative required by hash-encoder models: their features
+    start ~1e-4 so the ReLU preactivation is essentially the bias, and the
+    white-background gradient pushes it negative within a few hundred steps
+    — after which relu'(σ_raw)=0 for every point and training is dead
+    (observed on lego_hashgrid: both models collapse to all-empty/white).
+    softplus(x)=log1p(exp(x)) underflows to exactly 0 for large negative x,
+    so masked/compacted samples filled with a large negative raw still
+    composite as exactly empty (needed for the 1e10 tail dist).
+    """
+    if kind == "relu":
+        return jax.nn.relu(sigma)
+    if kind == "softplus":
+        return jax.nn.softplus(sigma)
+    raise ValueError(f"unknown sigma activation: {kind!r}")
+
+
+# raw sigma fill for masked-out samples: maps to exactly-zero density under
+# every activation (relu(-1e4)=0; softplus(-1e4) underflows to 0)
+EMPTY_SIGMA_RAW = -1e4
+
+
 def composite(
     raw: jnp.ndarray,
     z_vals: jnp.ndarray,
@@ -31,6 +56,7 @@ def composite(
     noise_key=None,
     white_bkgd: bool = True,
     ert_threshold: Optional[float] = None,
+    sigma_activation: str = "relu",
 ) -> Dict[str, jnp.ndarray]:
     """raw: [N, S, 4] (rgb_raw, sigma_raw); z_vals: [N, S]; rays_d: [N, 3].
 
@@ -49,7 +75,7 @@ def composite(
     if raw_noise_std > 0.0 and noise_key is not None:
         sigma = sigma + jax.random.normal(noise_key, sigma.shape) * raw_noise_std
 
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)  # [N, S]
+    alpha = 1.0 - jnp.exp(-density_activation(sigma, sigma_activation) * dists)
 
     # exclusive cumprod of (1 - alpha + 1e-10): transmittance arriving at i
     trans = jnp.cumprod(

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from . import occupancy as occ
+from .composite import density_activation
 from .renderer import (
     RenderOptions, compaction_capacity, get_query_fn, query_masked_compacted,
 )
@@ -99,7 +100,9 @@ def render_rays_marched(
                 query_fn, p, pts, viewdirs, opts, sample_mask, cap)
         else:
             raw = query_fn(p, pts, viewdirs, opts)
-        sigma = jnp.where(sample_mask, jax.nn.relu(raw[..., 3]), 0.0)
+        sigma = jnp.where(
+            sample_mask,
+            density_activation(raw[..., 3], opts.sigma_activation), 0.0)
         rgb = jax.nn.sigmoid(raw[..., :3])
 
         alpha = 1.0 - jnp.exp(-sigma * dt[:, None])

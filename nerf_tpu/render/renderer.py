@@ -77,6 +77,12 @@ class RenderOptions:
     hash_log2_size: int = 19
     hash_base_res: int = 16
     hash_scale: float = 1.3819
+    # table dtype: bf16 halves the gather time (TPU gathers are scalar-
+    # latency bound; see models/hashgrid.py) and matches tcnn's fp16 tables
+    hash_dtype: str = "bfloat16"
+    # density activation: "relu" (reference parity) or "softplus" (required
+    # for hash-encoder models — see composite.density_activation)
+    sigma_activation: str = "relu"
     mlp_depth: int = 8
     mlp_width: int = 256
     skips: Tuple[int, ...] = (4,)
@@ -117,6 +123,7 @@ class RenderOptions:
                 hash_log2_size=int(xyz_enc.get("log2_hashmap_size", 19)),
                 hash_base_res=int(xyz_enc.get("base_resolution", 16)),
                 hash_scale=float(xyz_enc.get("per_level_scale", 1.3819)),
+                hash_dtype=str(xyz_enc.get("dtype", "bfloat16")),
             )
         kilo = cfg.get("kilo", {})
         return cls(
@@ -140,6 +147,7 @@ class RenderOptions:
             ess_compaction=float(cfg.get("ess_compaction", 0.0)),
             xyz_freqs=int(xyz_enc.get("freq", 10)),
             dir_freqs=int(cfg.network.dir_encoder.freq),
+            sigma_activation=str(cfg.network.get("sigma_activation", "relu")),
             mlp_depth=int(cfg.network.nerf.D),
             mlp_width=int(cfg.network.nerf.W),
             skips=tuple(cfg.network.nerf.skips),
@@ -213,8 +221,14 @@ def get_query_fn(opts: RenderOptions) -> Callable:
 
         return kilo_query
     # Pallas TPU kernels only lower on TPU backends (the axon PJRT plugin
-    # reports its own platform name, so gate on "not cpu/gpu")
-    if opts.use_pallas and jax.default_backend() not in ("cpu", "gpu", "cuda"):
+    # reports its own platform name, so gate on "not cpu/gpu"). The fused
+    # kernel bakes the frequency encoding into row-permuted weights, so any
+    # other xyz encoder (hashgrid) must take the XLA path.
+    if (
+        opts.use_pallas
+        and opts.xyz_encoder_type == "frequency"
+        and jax.default_backend() not in ("cpu", "gpu", "cuda")
+    ):
         try:
             from ..ops.fused_mlp import query_network_pallas
 
@@ -265,9 +279,14 @@ def query_masked_compacted(
         raw_c = query_fn(params, pts_c[:, None, :], None, opts)
     raw_c = raw_c.reshape(cap, 4)
 
-    # un-compact: point i (kept, in capacity) reads raw_c[slot[i]]
+    # un-compact: point i (kept, in capacity) reads raw_c[slot[i]]; dropped
+    # samples fill with raw that maps to exactly-zero density under every
+    # sigma activation (rgb raw is irrelevant once the weight is 0)
+    from .composite import EMPTY_SIGMA_RAW
+
+    empty_raw = jnp.asarray([0.0, 0.0, 0.0, EMPTY_SIGMA_RAW], raw_c.dtype)
     keep = (flat_mask & (slot < cap))[:, None]
-    raw = jnp.where(keep, raw_c[jnp.clip(slot, 0, cap - 1)], 0.0)
+    raw = jnp.where(keep, raw_c[jnp.clip(slot, 0, cap - 1)], empty_raw)
     return raw.reshape(n, s, 4)
 
 
@@ -338,10 +357,11 @@ def render_rays(
     raw = query_fn(params["coarse"], pts, viewdirs, opts)
     ert = opts.ert_threshold if opts.enable_ert else None
 
-    # compositing backend: the Pallas integration kernel is forward-only
-    # and noise-free — eval path on TPU only; everything else is XLA
+    # compositing backend: the Pallas integration kernel is forward-only,
+    # noise-free, and hardcodes relu — eval path on TPU only
     if (opts.use_pallas_integrate and not train
             and opts.raw_noise_std == 0.0
+            and opts.sigma_activation == "relu"
             and jax.default_backend() not in ("cpu", "gpu", "cuda")):
         from ..ops.integrate import composite_pallas
 
@@ -354,7 +374,8 @@ def render_rays(
             return composite(
                 raw_, z_, rays_d,
                 raw_noise_std=opts.raw_noise_std, noise_key=noise_key,
-                white_bkgd=opts.white_bkgd, ert_threshold=ert)
+                white_bkgd=opts.white_bkgd, ert_threshold=ert,
+                sigma_activation=opts.sigma_activation)
 
     out_c = composite_fn(raw, z_vals, k_noise_c)
     ret = {

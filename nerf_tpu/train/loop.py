@@ -22,6 +22,7 @@ from ..parallel.multihost import is_main_process
 from ..models.encoders import freq_encode
 from ..models.nerf_mlp import apply_nerf_mlp, init_nerf_mlp
 from ..render import occupancy as occ
+from ..render.composite import density_activation
 from ..render.renderer import RenderOptions, render_image
 from .checkpoint import load_checkpoint, save_checkpoint, wipe_dir
 from .optim import make_optimizer
@@ -55,6 +56,7 @@ def init_nerf_params(key, opts: RenderOptions):
             log2_table_size=opts.hash_log2_size,
             base_resolution=opts.hash_base_res,
             per_level_scale=opts.hash_scale,
+            dtype=jnp.dtype(opts.hash_dtype),
         )
         params["coarse"]["xyz_encoder"] = init_hashgrid(kc2, **hash_kwargs)
         params["fine"]["xyz_encoder"] = init_hashgrid(kf2, **hash_kwargs)
@@ -78,13 +80,25 @@ def make_density_fn(params, opts: RenderOptions):
         @jax.jit
         def kilo_density(pts):
             dirs = jnp.zeros_like(pts)
-            return jax.nn.relu(kilonerf_eval(params, pts, dirs, kcfg)[..., 3])
+            return density_activation(
+                kilonerf_eval(params, pts, dirs, kcfg)[..., 3],
+                opts.sigma_activation)
 
         return kilo_density
 
     @jax.jit
     def density(pts):
-        emb = freq_encode(pts, opts.xyz_freqs)
+        if opts.xyz_encoder_type == "hashgrid":
+            from ..models.hashgrid import hashgrid_encode
+
+            emb = hashgrid_encode(
+                params["xyz_encoder"], pts,
+                base_resolution=opts.hash_base_res,
+                per_level_scale=opts.hash_scale,
+                bbox_min=-2.0, bbox_max=2.0,
+            )
+        else:
+            emb = freq_encode(pts, opts.xyz_freqs)
         zeros_dirs = jnp.zeros((pts.shape[0], opts.input_ch_views), pts.dtype)
         x = jnp.concatenate([emb, zeros_dirs], axis=-1)
         raw = apply_nerf_mlp(
@@ -92,7 +106,7 @@ def make_density_fn(params, opts: RenderOptions):
             use_viewdirs=opts.use_viewdirs,
             compute_dtype=jnp.dtype(opts.compute_dtype),
         )
-        return jax.nn.relu(raw[..., 3])
+        return density_activation(raw[..., 3], opts.sigma_activation)
 
     return density
 
@@ -137,7 +151,13 @@ def train(cfg, max_epochs: Optional[int] = None):
     ep_iter = int(cfg.get("ep_iter", 500))
     n_rays = int(cfg.task_arg.N_rays)
     log_interval = max(1, int(cfg.get("log_interval", 10)))
-    chunk = min(ep_iter, max(log_interval, 50))
+    # steps per compiled scan. The tunnel/relay kills any single device
+    # execution that runs too long (observed: ~25 hashgrid steps = ~60 s
+    # => "TPU worker crashed"), so slow-step configs (hashgrid gathers)
+    # must set scan_chunk low enough to stay well under the limit.
+    default_chunk = 8 if opts.xyz_encoder_type == "hashgrid" else 50
+    chunk = min(ep_iter, int(cfg.get("scan_chunk",
+                                     max(log_interval, default_chunk))))
     end_epoch = int(cfg.train.epoch) if max_epochs is None else min(
         int(cfg.train.epoch), begin_epoch + max_epochs
     )

@@ -46,8 +46,12 @@ def test_compacted_query_exact_where_occupied():
     # occupied samples evaluated exactly
     assert mask.sum() <= 768
     np.testing.assert_allclose(comp[mask], full[mask], atol=1e-6)
-    # empty samples: raw zero
-    assert (comp[~mask] == 0).all()
+    # empty samples: rgb raw zero, sigma raw = the empty fill (maps to
+    # exactly-zero density under every activation)
+    from nerf_tpu.render.composite import EMPTY_SIGMA_RAW
+
+    assert (comp[~mask][:, :3] == 0).all()
+    assert (comp[~mask][:, 3] == EMPTY_SIGMA_RAW).all()
 
 
 def test_render_rays_with_compaction_close_to_full():

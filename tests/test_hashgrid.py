@@ -45,7 +45,8 @@ def np_oracle(table, resolutions, pts, bbox=(-2.0, 2.0)):
 def test_matches_numpy_oracle():
     key = jax.random.PRNGKey(0)
     params = init_hashgrid(key, n_levels=4, log2_table_size=10,
-                           base_resolution=4, per_level_scale=2.0)
+                           base_resolution=4, per_level_scale=2.0,
+                           dtype=jnp.float32)
     res = level_resolutions(4, 4, 2.0)
     pts = np.random.RandomState(0).uniform(-2, 2, (64, 3)).astype(np.float32)
     got = np.asarray(hashgrid_encode(params, jnp.asarray(pts), resolutions=res))
@@ -58,7 +59,7 @@ def test_interpolation_continuity():
     """Features must be continuous across a voxel boundary."""
     params = init_hashgrid(jax.random.PRNGKey(1), n_levels=2,
                            log2_table_size=8, base_resolution=4,
-                           per_level_scale=2.0)
+                           per_level_scale=2.0, dtype=jnp.float32)
     eps = 1e-5
     p = jnp.asarray([[0.5 - eps, 0.3, 0.3], [0.5 + eps, 0.3, 0.3]])
     f = np.asarray(hashgrid_encode(params, p, base_resolution=4,
@@ -69,7 +70,7 @@ def test_interpolation_continuity():
 def test_gradients_scatter_to_table():
     params = init_hashgrid(jax.random.PRNGKey(2), n_levels=2,
                            log2_table_size=8, base_resolution=4,
-                           per_level_scale=2.0)
+                           per_level_scale=2.0, dtype=jnp.float32)
     pts = jnp.asarray(np.random.RandomState(1).uniform(-1, 1, (16, 3)),
                       jnp.float32)
 
