@@ -132,3 +132,23 @@ def test_warmup_multi_step_schedule():
     params = {"w": jnp.ones((3,))}
     state = tx.init(params)
     _ = tx.update({"w": jnp.ones((3,))}, state, params)
+
+
+def test_mask_utils_catalogs():
+    from nerf_tpu.utils.mask_utils import (
+        ADE20K_LABELS, get_class_ids_from_labels, get_label_id_mapping,
+        id_label_mapping_ade20k, id_label_mapping_human,
+        label_id_mapping_ade20k, label_id_mapping_human)
+
+    assert len(ADE20K_LABELS) == 150
+    # both directions are consistent bijections
+    assert all(id_label_mapping_ade20k[label_id_mapping_ade20k[n]] == n
+               for n in ADE20K_LABELS)
+    assert label_id_mapping_ade20k["person"] == 12
+    assert id_label_mapping_ade20k[2] == "sky"
+    assert label_id_mapping_human == {"non_person": 0, "person": 1}
+    assert id_label_mapping_human[1] == "person"
+    assert get_label_id_mapping() is label_id_mapping_ade20k
+    assert get_label_id_mapping(use_human_mask=True) is label_id_mapping_human
+    assert get_class_ids_from_labels(["wall", "flag"]) == [0, 149]
+    assert get_class_ids_from_labels(["person"], use_human_mask=True) == [1]
