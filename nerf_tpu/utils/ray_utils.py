@@ -1,10 +1,14 @@
-"""Ray/geometry utilities.
+"""Ray/geometry + small base utilities.
 
 Parity surface: reference ``src/utils/data_utils.py:601`` (``get_near_far``
-AABB ray intersection) and ``base_utils.py:11`` (``perf_timer``).
+AABB ray intersection) and ``base_utils.py`` (``perf_timer`` :11, pickle IO
+:62-70, ``load_object`` dynamic loader :139-144).
 """
 from __future__ import annotations
 
+import importlib
+import os
+import pickle
 import time
 from contextlib import contextmanager
 
@@ -42,3 +46,30 @@ def perf_timer(name: str = "block", log=print):
     t0 = time.time()
     yield
     log(f"{name}: {time.time() - t0:.4f}s")
+
+
+def read_pickle(pkl_path):
+    """Unpickle a file (base_utils.py:62-64)."""
+    with open(pkl_path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_pickle(data, pkl_path):
+    """Pickle to a file, creating parent dirs (base_utils.py:67-70)."""
+    parent = os.path.dirname(pkl_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    with open(pkl_path, "wb") as f:
+        pickle.dump(data, f)
+
+
+def load_object(qualified_name: str, module_args: dict | None = None,
+                **extra_args):
+    """Instantiate ``pkg.mod.ClassName`` with kwargs (base_utils.py:139-144).
+
+    The framework's factories use explicit registries; this generic loader
+    is the escape hatch for user-provided classes named in configs.
+    """
+    module_name, obj_name = qualified_name.rsplit(".", 1)
+    obj = getattr(importlib.import_module(module_name), obj_name)
+    return obj(**{**(module_args or {}), **extra_args})

@@ -211,3 +211,17 @@ def test_mask_helpers():
     mask[3:7, 3:7] = 1
     edge = du.get_edge(mask)
     assert edge[3, 3] == 1 and edge[4, 4] == 0 and edge.sum() == 12
+
+
+def test_base_utils_pickle_and_load_object(tmp_path):
+    from nerf_tpu.utils.ray_utils import load_object, read_pickle, save_pickle
+
+    p = tmp_path / "sub" / "x.pkl"
+    save_pickle({"a": [1, 2, 3]}, str(p))
+    assert read_pickle(str(p)) == {"a": [1, 2, 3]}
+
+    od = load_object("collections.OrderedDict", {})
+    assert type(od).__name__ == "OrderedDict"
+    frac = load_object("fractions.Fraction", {"numerator": 3},
+                       denominator=4)
+    assert float(frac) == 0.75
