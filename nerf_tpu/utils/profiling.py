@@ -47,16 +47,21 @@ class RaysPerSecond:
 
     @contextlib.contextmanager
     def measure(self, n_rays: int, result=None):
+        """Time a block; yields a ``done(result)`` callback to register the
+        output produced inside the block — it is host-synced before the
+        timer stops (results created mid-block can't be passed at entry)."""
+        holder = [result]
         t0 = time.time()
-        yield
-        if result is not None:
-            sync(result)
+        yield lambda res: holder.__setitem__(0, res)
+        if holder[0] is not None:
+            sync(holder[0])
         self.samples.append((n_rays, time.time() - t0))
 
     def summary(self) -> Dict[str, float]:
         kept = self.samples[self.drop_first:] or self.samples
         if not kept:
-            return {"rays_per_s": 0.0, "mean_time_s": 0.0, "fps": 0.0}
+            return {"rays_per_s": 0.0, "mean_time_s": 0.0, "fps": 0.0,
+                    "frames": 0}
         total_rays = sum(n for n, _ in kept)
         total_t = sum(t for _, t in kept)
         mean_t = total_t / len(kept)

@@ -8,6 +8,8 @@ Parity surface: reference ``run.py`` — dispatches ``run_<type>`` by
 import sys
 import time
 
+from nerf_tpu.utils.profiling import RaysPerSecond
+
 
 def run_dataset(cfg):
     from nerf_tpu.data.blender import make_dataset
@@ -78,18 +80,18 @@ def run_network(cfg):
             if opts.enable_ess else None)
     ds = make_dataset(cfg, "test")
     K = jnp.asarray(ds.K)
-    times = []
+    meter = RaysPerSecond(drop_first=1)  # reference protocol: drop frame 0
     for i in range(min(5, len(ds))):
-        t0 = time.time()
-        out = render_image(params, jnp.asarray(ds.poses[i]), K,
-                           jax.random.PRNGKey(i), ds.H, ds.W, opts, grid=grid)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-        print(f"frame {i}: {times[-1]:.3f}s")
-    if len(times) > 1:
-        mean_t = sum(times[1:]) / len(times[1:])  # drop first (compile)
-        print(f"mean render time {mean_t:.3f}s, fps {1.0 / mean_t:.2f}, "
-              f"{ds.H * ds.W / mean_t:,.0f} rays/s")
+        with meter.measure(ds.H * ds.W) as done:
+            out = render_image(params, jnp.asarray(ds.poses[i]), K,
+                               jax.random.PRNGKey(i), ds.H, ds.W, opts,
+                               grid=grid)
+            done(out)  # honest sync: forces a host transfer
+        print(f"frame {i}: {meter.samples[-1][1]:.3f}s")
+    s = meter.summary()
+    if s["frames"]:
+        print(f"mean render time {s['mean_time_s']:.3f}s, fps {s['fps']:.2f}, "
+              f"{s['rays_per_s']:,.0f} rays/s")
 
 
 def run_marched(cfg):
@@ -171,20 +173,20 @@ def run_evaluate(cfg):
         background_strategy=cfg.get("background_strategy", "none"),
     )
     K = jnp.asarray(ds.K)
-    net_times = []
+    meter = RaysPerSecond(drop_first=1)
     for i in range(len(ds)):
-        t0 = time.time()
-        out = render_image(params, jnp.asarray(ds.poses[i]), K,
-                           jax.random.PRNGKey(i), ds.H, ds.W, opts, grid=grid)
-        jax.block_until_ready(out)
-        net_times.append(time.time() - t0)
-        pred = np.asarray(out.get("rgb_map", out["rgb_map_0"]))
+        with meter.measure(ds.H * ds.W):
+            out = render_image(params, jnp.asarray(ds.poses[i]), K,
+                               jax.random.PRNGKey(i), ds.H, ds.W, opts,
+                               grid=grid)
+            # the host transfer of pred is the honest sync point
+            pred = np.asarray(out.get("rgb_map", out["rgb_map_0"]))
         evaluator.evaluate(pred, ds.images[i], i)
     summary = evaluator.summarize()
-    if len(net_times) > 1:
-        mean_t = sum(net_times[1:]) / len(net_times[1:])
-        print(f"mean net_time: {mean_t:.3f}s  fps: {1.0 / mean_t:.2f}  "
-              f"rays/s: {ds.H * ds.W / mean_t:,.0f}")
+    s = meter.summary()
+    if s["frames"]:
+        print(f"mean net_time: {s['mean_time_s']:.3f}s  fps: {s['fps']:.2f}  "
+              f"rays/s: {s['rays_per_s']:,.0f}")
 
     if cfg.get("write_video", False):
         from nerf_tpu.eval.video import render_novel_view_sequence
@@ -214,7 +216,8 @@ def main(argv=None):
     cfg, args = parse_args(argv)
     run_fn = globals().get(f"run_{args.type}")
     if run_fn is None:
-        print(f"unknown --type {args.type!r}; available: dataset, network, evaluate")
+        print(f"unknown --type {args.type!r}; "
+              "available: dataset, network, marched, evaluate")
         sys.exit(1)
     run_fn(cfg)
 
