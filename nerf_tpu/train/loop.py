@@ -10,6 +10,7 @@ scatter updates.
 """
 from __future__ import annotations
 
+import math
 import time
 from typing import Optional
 
@@ -111,6 +112,24 @@ def make_density_fn(params, opts: RenderOptions):
     return density
 
 
+def check_finite_stats(host_stats: dict, epoch: int = 0, iteration: int = 0):
+    """Anomaly guard between compiled step-chunks.
+
+    The reference keeps ``torch.autograd.set_detect_anomaly(True)`` always
+    on (train.py:23); the TPU analog of per-op anomaly tracking is
+    ``jax_debug_nans`` (opt-in via cfg.detect_anomaly — it forces eager
+    re-execution on failure and is far too slow to leave always-on). This
+    cheap guard runs on every host sync instead: a non-finite loss raises
+    ``FloatingPointError``, which ``--auto_restart`` converts into a
+    resume from the latest checkpoint.
+    """
+    bad = {k: v for k, v in host_stats.items() if not math.isfinite(v)}
+    if bad:
+        raise FloatingPointError(
+            f"non-finite training stats at epoch {epoch} iter {iteration}: "
+            f"{bad}")
+
+
 def train(cfg, max_epochs: Optional[int] = None):
     opts = RenderOptions.from_cfg(cfg)
     seed = int(cfg.get("seed", 0))
@@ -175,6 +194,7 @@ def train(cfg, max_epochs: Optional[int] = None):
             )
             done += n
             host_stats = {k2: float(v) for k2, v in stats.items()}
+            check_finite_stats(host_stats, epoch, done)
             recorder.step = int(state.step)
             recorder.update(host_stats)
             recorder.record("train", stats=host_stats)

@@ -73,3 +73,15 @@ def test_train_resume_and_artifacts(micro_scene, tmp_path):
     cfg2 = _cfg(micro_scene, tmp_path, **{"train.epoch": 5})
     state2, _ = train(cfg2)
     assert int(state2.step) == 20
+
+
+def test_check_finite_stats_guard():
+    import pytest
+
+    from nerf_tpu.train.loop import check_finite_stats
+
+    check_finite_stats({"loss": 0.5, "psnr": 30.0})
+    with pytest.raises(FloatingPointError, match="loss"):
+        check_finite_stats({"loss": float("nan")}, epoch=3, iteration=250)
+    with pytest.raises(FloatingPointError):
+        check_finite_stats({"loss": float("inf")})

@@ -15,6 +15,15 @@ def main(argv=None):
     if cfg.get("fix_random", False) or args.det:
         cfg.seed = 42
 
+    # Reference parity: torch.autograd.set_detect_anomaly(True) is always
+    # on there (train.py:23). The jax analog re-runs failing programs
+    # eagerly to locate the NaN-producing op — opt-in only (too slow to
+    # leave on); the always-on guard is check_finite_stats in the loop.
+    if cfg.get("detect_anomaly", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     if args.test:
         from run import run_evaluate
 
