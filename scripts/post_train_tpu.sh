@@ -1,19 +1,20 @@
 #!/bin/bash
 # Post-training TPU sequence (ONE process at a time; run only after train.py
-# has exited). Logs to /tmp/post_train/*.log.
+# has exited). Logs to /tmp/post_train/*.log. Budget ~2h on the tunnel v5e.
 set -x
 mkdir -p /tmp/post_train
 DATA=/root/reference/data/nerf_synthetic
 
-# 1. full test-set evaluation + spiral video
-timeout 3600 python -u run.py --type evaluate --cfg_file configs/nerf/lego.yaml \
+# 1. test-set evaluation on 25 frames (cams [0,-1,8]) + short spiral video
+timeout 2400 python -u run.py --type evaluate --cfg_file configs/nerf/lego.yaml \
   test_dataset.data_root $DATA train_dataset.data_root $DATA \
-  write_video True > /tmp/post_train/eval.log 2>&1
+  test_dataset.cams "[0,-1,8]" write_video True render_num 30 \
+  > /tmp/post_train/eval.log 2>&1
 
-# 2. benchmark (XLA default + pallas variant + tile sweep)
+# 2. benchmark (XLA default + pallas + integrate kernel + tile/compaction sweep)
 timeout 900 python -u bench.py > /tmp/post_train/bench_xla.log 2>&1
 timeout 900 python -u bench.py --pallas > /tmp/post_train/bench_pallas.log 2>&1
-timeout 900 python -u bench.py --tile 4096 > /tmp/post_train/bench_t4096.log 2>&1
+timeout 900 python -u bench.py --pallas-integrate > /tmp/post_train/bench_integrate.log 2>&1
 timeout 900 python -u bench.py --tile 16384 > /tmp/post_train/bench_t16384.log 2>&1
 timeout 900 python -u bench.py --tile 32768 > /tmp/post_train/bench_t32768.log 2>&1
 timeout 900 python -u bench.py --compaction 0.5 > /tmp/post_train/bench_comp05.log 2>&1
@@ -36,7 +37,12 @@ timeout 1200 python -u run.py --type marched --cfg_file configs/nerf/lego.yaml \
   test_dataset.data_root $DATA train_dataset.data_root $DATA \
   ess_compaction 0.4 > /tmp/post_train/marched_comp.log 2>&1
 
-# 5. KiloNeRF distillation (full budget) + fast-inference timing
+# 5. ESS/ERT ablation matrix (the reference's test_ess_ert protocol)
+timeout 1800 python -u test_ess_ert.py --cfg_file configs/nerf/lego.yaml \
+  test_dataset.data_root $DATA train_dataset.data_root $DATA \
+  n_frames 2 H 400 W 400 > /tmp/post_train/ess_ert.log 2>&1
+
+# 6. KiloNeRF distillation (full budget) + fast-inference timing
 timeout 3600 python -u distill_kilonerf.py --cfg_file configs/nerf/lego.yaml \
   test_dataset.data_root $DATA train_dataset.data_root $DATA \
   kilo.steps 4000 > /tmp/post_train/distill.log 2>&1
