@@ -115,4 +115,115 @@ def get_encoder(enc_cfg, key=None):
             resolution=R, n_features=F,
         )
         return params, triplane_encode, triplane_out_dim(F)
+    if etype in ("cuda_hashgrid_4d", "cuda_hashgrid_latent",
+                 "cuda_hashgrid_coef", "cuda_motion2d"):
+        return _get_dynamic_hash_encoder(etype, enc_cfg, key)
+    if etype in ("dnerf", "dnerf_ngp_mlp", "dnerf_ngp_tensorf",
+                 "cuda_dnerf_ngp_tensorf", "dnerf_mlp_tensorf"):
+        return _get_dnerf_encoder(etype, enc_cfg, key)
     raise ValueError(f"unknown encoder type: {etype}")
+
+
+def _hash_kwargs(enc_cfg) -> dict:
+    return dict(
+        n_levels=int(enc_cfg.get("n_levels", 16)),
+        n_features=int(enc_cfg.get("n_features", 2)),
+        log2_table_size=int(enc_cfg.get("log2_hashmap_size", 19)),
+        base_resolution=int(enc_cfg.get("base_resolution", 16)),
+        per_level_scale=float(enc_cfg.get("per_level_scale", 1.3819)),
+    )
+
+
+def _get_dynamic_hash_encoder(etype, enc_cfg, key):
+    """Dynamic-scene hash variants (reference hashencoder/hashgrid.py:241-352);
+    encode takes xyzt [..., 4] with frame index in the last channel."""
+    import jax as _jax
+    from functools import partial
+
+    from . import hash_variants as hv
+    from .hashgrid import hashgrid_out_dim
+
+    key = key if key is not None else _jax.random.PRNGKey(0)
+    kw = _hash_kwargs(enc_cfg)
+    init_kw = dict(n_levels=kw["n_levels"], n_features=kw["n_features"],
+                   log2_table_size=kw["log2_table_size"])
+    enc_kw = dict(base_resolution=kw["base_resolution"],
+                  per_level_scale=kw["per_level_scale"])
+    nf = int(enc_cfg.get("num_frames", 60))
+    base_dim = hashgrid_out_dim(kw["n_levels"], kw["n_features"])
+    if etype == "cuda_hashgrid_4d":
+        params = hv.init_hash4d(key, num_frames=nf, **init_kw)
+        return params, partial(hv.hash4d_encode, num_frames=nf,
+                               **enc_kw), base_dim
+    if etype == "cuda_hashgrid_latent":
+        latent_dim = int(enc_cfg.get("latent_dim", 32))
+        params = hv.init_hash_latent(key, num_frames=nf,
+                                     latent_dim=latent_dim, **init_kw)
+        return params, partial(hv.hash_latent_encode,
+                               **enc_kw), base_dim + latent_dim
+    if etype == "cuda_hashgrid_coef":
+        params = hv.init_hash_coef(
+            key, basis_num=int(enc_cfg.get("basis_num", 6)),
+            coef_hidden=int(enc_cfg.get("coef_hidden", 64)), **init_kw)
+        return params, partial(hv.hash_coef_encode, num_frames=nf,
+                               **enc_kw), base_dim
+    # cuda_motion2d: three deformed 2D plane hashes
+    params = hv.init_motion2d(
+        key, mlp_width=int(enc_cfg.get("deform_width", 128)),
+        mlp_depth=int(enc_cfg.get("deform_depth", 7)), **init_kw)
+    return params, partial(hv.motion2d_encode, num_frames=nf,
+                           **enc_kw), 3 * base_dim
+
+
+def _get_dnerf_encoder(etype, enc_cfg, key):
+    """D-NeRF family: time-conditioned deformation in front of a spatial
+    encoder (reference encoding/__init__.py dnerf_* dispatch). encode takes
+    (pts [..., 3], t) with t in [0, 1]."""
+    import jax as _jax
+
+    from .dnerf import deformed_encoder, init_deformation
+
+    key = key if key is not None else _jax.random.PRNGKey(0)
+    k_def, k_sp = _jax.random.split(key)
+    xyz_freqs = int(enc_cfg.get("freq", 10))
+    time_freqs = int(enc_cfg.get("time_freq", 4))
+    deform = init_deformation(
+        k_def, xyz_freqs=xyz_freqs, time_freqs=time_freqs,
+        W=int(enc_cfg.get("deform_width", 128)),
+        D=int(enc_cfg.get("deform_depth", 4)),
+    )
+    if etype == "dnerf":  # deformation + frequency spatial encoding
+        spatial = lambda x: freq_encode(x, xyz_freqs)
+        out_dim = freq_out_dim(3, xyz_freqs)
+        params = {"deform": deform}
+        fn = lambda p, pts, t: deformed_encoder(
+            p["deform"], spatial, xyz_freqs, time_freqs)(pts, t)
+        return params, fn, out_dim
+    if etype in ("dnerf_ngp_mlp", "dnerf_ngp_tensorf",
+                 "cuda_dnerf_ngp_tensorf"):  # deformation + hash grid
+        from .hashgrid import hashgrid_encode, hashgrid_out_dim, init_hashgrid
+
+        kw = _hash_kwargs(enc_cfg)
+        grid = init_hashgrid(
+            k_sp, n_levels=kw["n_levels"], n_features=kw["n_features"],
+            log2_table_size=kw["log2_table_size"])
+        out_dim = hashgrid_out_dim(kw["n_levels"], kw["n_features"])
+        params = {"deform": deform, "grid": grid}
+        fn = lambda p, pts, t: deformed_encoder(
+            p["deform"],
+            lambda x: hashgrid_encode(
+                p["grid"], x, base_resolution=kw["base_resolution"],
+                per_level_scale=kw["per_level_scale"]),
+            xyz_freqs, time_freqs)(pts, t)
+        return params, fn, out_dim
+    # dnerf_mlp_tensorf: deformation + tri-plane spatial encoding
+    from .triplane import init_triplane, triplane_encode, triplane_out_dim
+
+    R = int(enc_cfg.get("resolution", 128))
+    F = int(enc_cfg.get("n_features", 16))
+    plane = init_triplane(k_sp, resolution=R, n_features=F)
+    params = {"deform": deform, "planes": plane}
+    fn = lambda p, pts, t: deformed_encoder(
+        p["deform"], lambda x: triplane_encode(p["planes"], x),
+        xyz_freqs, time_freqs)(pts, t)
+    return params, fn, triplane_out_dim(F)
