@@ -182,16 +182,32 @@ def train(cfg, max_epochs: Optional[int] = None):
     )
     grid_rebuild_ep = int(cfg.get("grid_rebuild_ep", 10))
 
+    # Whole-image loss semantics (the reference renders all H*W rays per
+    # step with grad, trainers/nerf.py:20-76): every step renders one full
+    # image, gradients accumulated exactly over static ray tiles. Orders of
+    # magnitude more FLOPs/step than ray batching — parity experiments only.
+    full_image = bool(cfg.get("train_full_image", False))
+    if full_image:
+        from .state import train_step_full_image
+
     for epoch in range(begin_epoch, end_epoch):
         recorder.epoch = epoch
         t_epoch = time.time()
         done = 0
         while done < ep_iter:
-            n = min(chunk, ep_iter - done)
-            state, stats = train_steps(
-                state, images_u8, poses, intrinsics, k_train, tx, opts,
-                n_rays, n, grid=grid,
-            )
+            if full_image:
+                n = 1
+                state, stats = train_step_full_image(
+                    state, images_u8, poses, intrinsics, k_train, tx, opts,
+                    ds.H, ds.W, tile=int(cfg.get("render_tile_rays", 8192)),
+                    grid=grid,
+                )
+            else:
+                n = min(chunk, ep_iter - done)
+                state, stats = train_steps(
+                    state, images_u8, poses, intrinsics, k_train, tx, opts,
+                    n_rays, n, grid=grid,
+                )
             done += n
             host_stats = {k2: float(v) for k2, v in stats.items()}
             check_finite_stats(host_stats, epoch, done)
@@ -201,14 +217,18 @@ def train(cfg, max_epochs: Optional[int] = None):
             lr = float(cfg.train.lr) * float(cfg.train.scheduler.gamma) ** (
                 epoch / float(cfg.train.scheduler.decay_epochs)
             )
-            print(
-                f"epoch {epoch} iter {done}/{ep_iter}  "
-                + "  ".join(f"{k2}: {v:.4f}" for k2, v in host_stats.items())
-                + f"  lr: {lr:.2e}"
-            )
+            # chunked mode logs every chunk (each is >= log_interval steps);
+            # full-image mode logs every log_interval single-image steps
+            if not full_image or done % log_interval == 0 or done >= ep_iter:
+                print(
+                    f"epoch {epoch} iter {done}/{ep_iter}  "
+                    + "  ".join(
+                        f"{k2}: {v:.4f}" for k2, v in host_stats.items())
+                    + f"  lr: {lr:.2e}"
+                )
 
         dt = time.time() - t_epoch
-        rays_per_s = ep_iter * n_rays / dt
+        rays_per_s = ep_iter * (ds.H * ds.W if full_image else n_rays) / dt
         print(f"epoch {epoch} done in {dt:.1f}s  ({rays_per_s:,.0f} train rays/s)")
 
         # ESS grid rebuild from the learned density (KiloNeRF method)

@@ -42,6 +42,13 @@ timeout 1800 python -u test_ess_ert.py --cfg_file configs/nerf/lego.yaml \
   test_dataset.data_root $DATA train_dataset.data_root $DATA \
   n_frames 2 H 400 W 400 > /tmp/post_train/ess_ert.log 2>&1
 
+# 5b. img_fit end-to-end evidence (train 20 epochs + eval; ~5 min)
+timeout 900 python -u train.py --cfg_file configs/img_fit/lego_view0.yaml \
+  train_dataset.data_root $DATA train.epoch 20 \
+  > /tmp/post_train/img_fit_train.log 2>&1
+timeout 600 python -u run.py --type evaluate --cfg_file configs/img_fit/lego_view0.yaml \
+  train_dataset.data_root $DATA > /tmp/post_train/img_fit_eval.log 2>&1
+
 # 6. KiloNeRF distillation (full budget) + fast-inference timing
 timeout 3600 python -u distill_kilonerf.py --cfg_file configs/nerf/lego.yaml \
   test_dataset.data_root $DATA train_dataset.data_root $DATA \

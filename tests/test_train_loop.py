@@ -85,3 +85,15 @@ def test_check_finite_stats_guard():
         check_finite_stats({"loss": float("nan")}, epoch=3, iteration=250)
     with pytest.raises(FloatingPointError):
         check_finite_stats({"loss": float("inf")})
+
+
+def test_train_full_image_mode(micro_scene, tmp_path):
+    """cfg.train_full_image routes the loop through whole-image steps."""
+    from nerf_tpu.train.loop import train
+
+    cfg = _cfg(micro_scene, tmp_path, **{
+        "train_full_image": "True", "train.epoch": 1, "ep_iter": 2,
+        "workspace": str(tmp_path / "ws_full"),
+    })
+    state, _ = train(cfg)
+    assert int(state.step) == 2
