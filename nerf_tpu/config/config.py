@@ -234,9 +234,40 @@ def load_cfg(cfg_file: str) -> Config:
     return Config(current)
 
 
+def _git_describe(args: str) -> str:
+    import subprocess
+
+    try:
+        out = subprocess.run(["git", "describe"] + args.split(),
+                             capture_output=True, text=True, timeout=5)
+        return out.stdout.strip()
+    except Exception:
+        return ""
+
+
 def parse_cfg(cfg: Config) -> Config:
     """Derive output directories: <workspace>/<kind>/<task>/<scene>/<exp_name>
-    (reference ``src/config/config.py:169-178``)."""
+    (reference ``src/config/config.py:169-178``), after the reference's
+    exp_name transforms (:151-167): bbox cube-ification, exp_name_tag
+    suffix, gitbranch/gitcommit substitution."""
+    if cfg.get("bbox"):
+        import numpy as np
+
+        bbox = np.asarray(cfg.bbox, np.float64).reshape(2, 3)
+        center = bbox.mean(axis=0)
+        half = float((bbox[1] - bbox[0]).max()) / 2.0
+        cfg.bbox = np.stack([center - half, center + half]).reshape(6).tolist()
+
+    if cfg.get("exp_name_tag"):
+        cfg.exp_name = f"{cfg.exp_name}_{cfg.exp_name_tag}"
+    if "gitbranch" in cfg.exp_name:
+        # "heads/<branch>" -> "<branch>" (the reference strips "heads/")
+        cfg.exp_name = cfg.exp_name.replace(
+            "gitbranch", _git_describe("--all")[6:] or "nobranch")
+    if "gitcommit" in cfg.exp_name:
+        cfg.exp_name = cfg.exp_name.replace(
+            "gitcommit", _git_describe("--tags --always") or "nocommit")
+
     tail = os.path.join(cfg.task, cfg.get("scene", ""), cfg.exp_name)
     ws = cfg.get("workspace", "workspace")
     if not cfg.get("trained_model_dir"):

@@ -78,3 +78,30 @@ def test_lego_400_coarse_config():
     assert opts.n_importance == 0 and opts.n_samples == 64
     # exp dirs must not collide with the full run
     assert "nerf_400_coarse" in cfg.trained_model_dir
+
+
+def test_parse_cfg_exp_name_transforms():
+    from nerf_tpu.config import make_cfg
+
+    cfg = make_cfg("configs/nerf/lego.yaml", [
+        "exp_name", "run_gitcommit", "exp_name_tag", "ablation",
+    ])
+    # tag appended first, then gitcommit substituted with a real hash
+    assert cfg.exp_name.startswith("run_")
+    assert cfg.exp_name.endswith("_ablation")
+    assert "gitcommit" not in cfg.exp_name
+    assert cfg.exp_name in cfg.trained_model_dir
+
+
+def test_parse_cfg_bbox_cubeified():
+    from nerf_tpu.config import make_cfg
+
+    cfg = make_cfg("configs/nerf/lego.yaml", [
+        "bbox", "[0,0,0,2,4,8]",
+    ])
+    import numpy as np
+
+    bbox = np.asarray(cfg.bbox).reshape(2, 3)
+    size = bbox[1] - bbox[0]
+    assert np.allclose(size, size.max())          # cube
+    assert np.allclose(bbox.mean(0), [1, 2, 4])   # center preserved
