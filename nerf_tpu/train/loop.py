@@ -166,6 +166,22 @@ def train(cfg, max_epochs: Optional[int] = None):
         begin_epoch += 1
         recorder.load_state_dict(rec_state)
         print(f"resumed from epoch {begin_epoch - 1}")
+    elif cfg.get("pretrain"):
+        # weights-only init from another experiment (net_utils.load_pretrain
+        # :429-457 analog): cfg.pretrain is a checkpoint dir (or .npz path)
+        import os
+
+        from .checkpoint import load_params
+
+        p = str(cfg.pretrain)
+        pdir, tag = (os.path.dirname(p) or ".",
+                     os.path.basename(p)[:-4]) if p.endswith(".npz") else (
+            p, "latest")
+        loaded = load_params(pdir, state.params, tag=tag)
+        if loaded is None:
+            raise FileNotFoundError(f"pretrain checkpoint not found: {p}")
+        state = state._replace(params=loaded)
+        print(f"initialized weights from pretrain: {p}")
 
     ep_iter = int(cfg.get("ep_iter", 500))
     n_rays = int(cfg.task_arg.N_rays)

@@ -97,3 +97,31 @@ def test_train_full_image_mode(micro_scene, tmp_path):
     })
     state, _ = train(cfg)
     assert int(state.step) == 2
+
+
+def test_pretrain_initialization(micro_scene, tmp_path):
+    """cfg.pretrain seeds a fresh run with another experiment's weights."""
+    import numpy as np
+
+    from nerf_tpu.train.loop import train
+
+    cfg1 = _cfg(micro_scene, tmp_path, **{"train.epoch": 1, "ep_iter": 2})
+    state1, _ = train(cfg1)
+
+    cfg2 = _cfg(micro_scene, tmp_path, **{
+        "train.epoch": 1, "ep_iter": 2,
+        "workspace": str(tmp_path / "ws2"),
+        "pretrain": cfg1.trained_model_dir,
+    })
+    state2, _ = train(cfg2)
+    # step counter restarts (weights-only), run completes
+    assert int(state2.step) == 2
+
+    import pytest
+
+    cfg3 = _cfg(micro_scene, tmp_path, **{
+        "workspace": str(tmp_path / "ws3"),
+        "pretrain": str(tmp_path / "nope"),
+    })
+    with pytest.raises(FileNotFoundError):
+        train(cfg3)
