@@ -34,10 +34,21 @@ class Evaluator:
         self.ssim: List[float] = []
         self.imgs: List[Dict] = []
 
+    @staticmethod
+    def _to_unit_range(img: np.ndarray, name: str) -> np.ndarray:
+        """Defensive range handling (reference evaluators/nerf.py:33-48):
+        [0,255]-scaled inputs are auto-normalized before clipping."""
+        img = np.asarray(img, np.float32)
+        if img.size and float(img.max()) > 1.0 + 1e-6:
+            print(f"WARNING: {name} image not in [0,1]; "
+                  "auto-normalizing from [0,255]")
+            img = img / 255.0
+        return np.clip(img, 0, 1)
+
     def evaluate(self, pred_rgb: np.ndarray, gt_rgb: np.ndarray, idx: int) -> Dict:
         """pred/gt: [H, W, 3] float in [0,1]."""
-        pred = np.clip(np.asarray(pred_rgb, np.float32), 0, 1)
-        gt = np.clip(np.asarray(gt_rgb, np.float32), 0, 1)
+        pred = self._to_unit_range(pred_rgb, "predicted")
+        gt = self._to_unit_range(gt_rgb, "ground truth")
         if self.background_strategy != "none":
             from .background import convert_background
 
