@@ -1,34 +1,49 @@
 #!/bin/bash
-# Watchdog for the lego training run: if the log stops advancing for >300s
-# while the process still exists (futex wedge), kill the EXACT recorded
-# PID tree and relaunch. Restart count capped.
+# Watchdog for the lego training run. Launches training itself in its OWN
+# process group (setsid) and records the group leader PID, so a stale-log
+# wedge (tunnel futex deadlock) is recovered by killing exactly that group
+# — never by pattern, and never orphaning the python (the round-1
+# continuation bug: recording the shell wrapper's PID left the real python
+# alive while relaunching a second TPU process).
 LOG=/tmp/train_r1c.log
-PIDFILE=/tmp/train_r1c.pid
+PGIDFILE=/tmp/train_r1c.pgid
 CMD="timeout 25000 python -u train.py --cfg_file configs/nerf/lego.yaml train_dataset.data_root /root/reference/data/nerf_synthetic test_dataset.data_root /root/reference/data/nerf_synthetic"
+
+launch() {
+  setsid bash -c "echo \$\$ > $PGIDFILE; exec $CMD >> $LOG 2>&1" &
+  sleep 2
+  echo "$(date) launched pgid $(cat $PGIDFILE)" >> /tmp/watchdog.log
+}
+
+kill_group() {
+  local pg=$(cat "$PGIDFILE" 2>/dev/null)
+  [ -n "$pg" ] || return
+  kill -- -"$pg" 2>/dev/null; sleep 5
+  kill -9 -- -"$pg" 2>/dev/null; sleep 3
+}
+
+launch
 restarts=0
-while [ $restarts -lt 5 ]; do
+while [ $restarts -lt 6 ]; do
   sleep 60
-  WPID=$(awk '{print $2}' "$PIDFILE")
-  if ! kill -0 "$WPID" 2>/dev/null; then
-    # process gone: finished normally (or timeout) -> stop watching
-    if grep -q "epoch 599 done" "$LOG" 2>/dev/null; then exit 0; fi
-    # exited without completing (crash/timeout): do not auto-restart past cap
-    if [ ! -e /tmp/train_done ]; then
-      echo "$(date) train process gone; restarting" >> /tmp/watchdog.log
-      nohup $CMD >> "$LOG" 2>&1 &
-      echo "PID $!" > "$PIDFILE"
-      restarts=$((restarts+1))
+  PG=$(cat "$PGIDFILE" 2>/dev/null)
+  if ! kill -0 "$PG" 2>/dev/null; then
+    if grep -q "training complete" "$LOG" 2>/dev/null; then
+      echo "$(date) training complete" >> /tmp/watchdog.log
+      touch /tmp/train_done
+      exit 0
     fi
+    echo "$(date) process gone without completing; restarting" >> /tmp/watchdog.log
+    launch
+    restarts=$((restarts+1))
     continue
   fi
   age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
   if [ "$age" -gt 300 ]; then
-    echo "$(date) log stale ${age}s; killing $WPID tree" >> /tmp/watchdog.log
-    CHILD=$(ps -o pid= --ppid "$WPID" | tr -d ' ')
-    kill "$WPID" $CHILD 2>/dev/null; sleep 5
-    kill -9 "$WPID" $CHILD 2>/dev/null; sleep 3
-    nohup $CMD >> "$LOG" 2>&1 &
-    echo "PID $!" > "$PIDFILE"
+    echo "$(date) log stale ${age}s; killing group $PG" >> /tmp/watchdog.log
+    kill_group
+    launch
     restarts=$((restarts+1))
   fi
 done
+echo "$(date) restart cap reached" >> /tmp/watchdog.log
