@@ -42,6 +42,14 @@ timeout 1800 python -u test_ess_ert.py --cfg_file configs/nerf/lego.yaml \
   test_dataset.data_root $DATA train_dataset.data_root $DATA \
   n_frames 2 H 400 W 400 > /tmp/post_train/ess_ert.log 2>&1
 
+# 5a. hashgrid-encoder training evidence (own exp dir; short budget)
+timeout 2400 python -u train.py --cfg_file configs/nerf/lego_hashgrid.yaml \
+  train_dataset.data_root $DATA test_dataset.data_root $DATA \
+  train.epoch 15 eval_ep 15 > /tmp/post_train/hashgrid_train.log 2>&1
+timeout 1200 python -u run.py --type evaluate --cfg_file configs/nerf/lego_hashgrid.yaml \
+  train_dataset.data_root $DATA test_dataset.data_root $DATA \
+  test_dataset.cams "[0,40,5]" > /tmp/post_train/hashgrid_eval.log 2>&1
+
 # 5b. img_fit end-to-end evidence (train 20 epochs + eval; ~5 min)
 timeout 900 python -u train.py --cfg_file configs/img_fit/lego_view0.yaml \
   train_dataset.data_root $DATA train.epoch 20 \
