@@ -46,6 +46,10 @@ def main():
             kwargs["ess_compaction"] = float(sys.argv[i + 1])
         if a == "--tile" and i + 1 < len(sys.argv):
             kwargs["tile_rays"] = int(sys.argv[i + 1])
+        if a == "--ktile" and i + 1 < len(sys.argv):
+            from nerf_tpu.ops import fused_mlp
+
+            fused_mlp.TILE = int(sys.argv[i + 1])
     opts = RenderOptions(**kwargs)  # lego defaults: 64+128, ESS+ERT, bf16
     params = init_nerf_params(jax.random.PRNGKey(0), opts)
 

@@ -207,6 +207,9 @@ def fused_nerf_eval(
         ],
         out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        # point tiles are independent: let Mosaic pipeline the grid
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(pts, dirs, *weight_inputs)
     return out[:P]
@@ -231,6 +234,10 @@ def _xla_reference(params, pts, dirs, opts):
 # test hook: force interpret-mode pallas (CPU) inside the diff wrapper
 INTERPRET = False
 
+# points per kernel grid step (VMEM: weights ~0.3 MB bf16 + ~1 MB activations
+# per 1024 points — headroom to 8192). Tunable via bench.py --ktile.
+TILE = 1024
+
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_nerf_eval_diff(params, pts, dirs, opts):
@@ -239,7 +246,7 @@ def fused_nerf_eval_diff(params, pts, dirs, opts):
     optimization). params is the standard MLP pytree."""
     kparams = repack_params(params, opts.xyz_freqs, opts.dir_freqs,
                             weight_dtype=jnp.dtype(opts.compute_dtype))
-    return fused_nerf_eval(kparams, pts, dirs, interpret=INTERPRET)
+    return fused_nerf_eval(kparams, pts, dirs, tile=TILE, interpret=INTERPRET)
 
 
 def _diff_fwd(params, pts, dirs, opts):
