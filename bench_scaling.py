@@ -100,6 +100,14 @@ def main(argv=None):
             for k in results
         },
     }
+    if args.platform == "cpu":
+        report["note"] = (
+            "virtual CPU devices share ONE physical CPU: weak-scaling "
+            "throughput cannot grow, so 'efficiency' here only validates "
+            "that the sharded program compiles/runs at every mesh size. "
+            "Real ICI efficiency requires a multi-chip slice "
+            "(--platform tpu)."
+        )
     with open("scaling_results.json", "w") as f:
         json.dump(report, f, indent=2)
     print("written: scaling_results.json")
