@@ -11,10 +11,14 @@ Usage:  python scripts/validate_integrate_tpu.py [N] [S]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python scripts/validate_integrate_tpu.py` from the repo root
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
