@@ -15,6 +15,10 @@ and writes ``latest.npz`` into ``cfg.trained_model_dir`` so ``run.py
 import os
 import sys
 
+# runnable as `python scripts/port_torch_checkpoint.py` from the repo root
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
