@@ -97,7 +97,7 @@ def populate_from_density(
     grid: OccupancyGrid,
     density_fn,
     threshold: float = 0.01,
-    chunk: int = 2_097_152,
+    chunk: int = 131_072,
 ) -> OccupancyGrid:
     """KiloNeRF-style rebuild: sample a 3x3x3 subgrid per cell, a cell is
     occupied iff any subsample's density exceeds ``threshold``.
@@ -125,7 +125,12 @@ def populate_from_density(
         + (jnp.tile(jnp.array([0.0, 0.5, 1.0]), res) * cell[2])
     )
     n = 3 * res
-    # evaluate in z-major slabs to bound memory: [n, n, n] points total
+    # evaluate in x-major slabs to bound memory: [n, n, n] points total.
+    # The slab budget must stay small: TPU pads the hash-encoder's gather
+    # intermediates ([L, N, 2^D] etc.) to 128 lanes, so a 2M-point slab
+    # compiles to a ~34 GB allocation (observed OOM on the hashgrid eval).
+    # density_fn is jitted here so the per-slab dispatches stay cheap.
+    density_fn = jax.jit(density_fn)
     occ_slabs = []
     slab = max(1, chunk // (n * n))
     for x0 in range(0, n, slab):
