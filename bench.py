@@ -33,14 +33,17 @@ def main():
     from nerf_tpu.train.loop import init_nerf_params
 
     H = W = 800
-    # default to the XLA query path: on this tunnel device it measures
-    # faster than the fused Pallas kernel (45.7k vs 41.5k rays/s on the
-    # trained model); --pallas opts back in (the right default on real v5e)
-    kwargs = {"use_pallas": False}
+    # Default = the best validated config on this device (full-budget round-1
+    # sweep): XLA query path + Pallas integration kernel, ray tile 8192.
+    # The fused Pallas MLP ties XLA here (41.9k vs 41.5k) and is the right
+    # default on direct-attached v5e (--pallas opts in); the integrate
+    # kernel is +9% end-to-end (45.2k) and allclose-validated on TPU
+    # (scripts/validate_integrate_tpu.py). --no-pallas-integrate opts out.
+    kwargs = {"use_pallas": False, "use_pallas_integrate": True}
     if "--pallas" in sys.argv:
         kwargs["use_pallas"] = True
-    if "--pallas-integrate" in sys.argv:
-        kwargs["use_pallas_integrate"] = True
+    if "--no-pallas-integrate" in sys.argv:
+        kwargs["use_pallas_integrate"] = False
     for i, a in enumerate(sys.argv):
         if a == "--compaction" and i + 1 < len(sys.argv):
             kwargs["ess_compaction"] = float(sys.argv[i + 1])
