@@ -234,9 +234,10 @@ def _xla_reference(params, pts, dirs, opts):
 # test hook: force interpret-mode pallas (CPU) inside the diff wrapper
 INTERPRET = False
 
-# points per kernel grid step (VMEM: weights ~0.3 MB bf16 + ~1 MB activations
-# per 1024 points — headroom to 8192). Tunable via bench.py --ktile.
-TILE = 1024
+# Points per kernel grid step, tunable via bench.py --ktile. Measured on
+# the v5e (trained lego, 800x800): 1024 -> 41.9k rays/s, 2048 -> 44.6k
+# (13 MB scoped VMEM), 4096 -> OOM (26.8 MB > the 16 MB scoped limit).
+TILE = 2048
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
