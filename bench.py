@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark: rays/s/chip on lego 800x800 (the north-star metric).
+"""Benchmark: rays/s/chip on lego 800x800, forward AND train step (the
+north-star metric, BASELINE.json: "rays/s/chip (fwd + train step)").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
+train-step numbers as extra keys ({"train_rays_per_s", "train_vs_baseline"}).
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
-ratio against this framework's round-1 pure-XLA path measured on the same
-v5e chip (52,519 rays/s full 64+128 hierarchical forward, ESS+ERT on) —
-i.e. the kernel-fusion speedup over the unfused baseline.
+ratio against this framework's round-1 paths measured on the same v5e chip:
+forward = the pure-XLA hierarchical render (44,110 rays/s), train = the
+round-1 sustained training throughput (26,200 rays/s over the 600-epoch
+lego run, EVAL_r1/README.md).
 """
 from __future__ import annotations
 
@@ -20,8 +23,36 @@ import numpy as np
 # round-1 unfused XLA path on the round-1 trained checkpoint (PSNR 28.8),
 # measured on this repo's v5e — future rounds report speedup vs this
 XLA_BASELINE_RAYS_PER_S = 44109.8
+# round-1 sustained train throughput on the same chip (600-epoch lego run)
+TRAIN_BASELINE_RAYS_PER_S = 26200.0
 
 LEGO_ROOT = "/root/reference/data/nerf_synthetic"
+
+
+def bench_train(params, images_u8, poses, K, opts, grid, n_rays: int,
+                n_steps: int = 50):
+    """Train-step rays/s: one compiled scan chunk of ``n_steps`` steps,
+    timed after a warmup chunk (same code path as train/loop.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.config import default_cfg
+    from nerf_tpu.train.optim import make_optimizer
+    from nerf_tpu.train.state import init_state, train_steps
+
+    tx = make_optimizer(default_cfg())
+    state = init_state(params, tx)
+    key = jax.random.PRNGKey(0)
+    state, stats = train_steps(  # compile + warmup
+        state, images_u8, poses, K, key, tx, opts, n_rays, n_steps, grid=grid)
+    np.asarray(stats["loss"])
+    t0 = time.time()
+    state, stats = train_steps(
+        state, images_u8, poses, K, key, tx, opts, n_rays, n_steps, grid=grid)
+    np.asarray(stats["loss"])  # host transfer = honest sync
+    dt = time.time() - t0
+    assert np.isfinite(float(stats["loss"]))
+    return n_steps * n_rays / dt
 
 
 def main():
@@ -44,6 +75,8 @@ def main():
         kwargs["use_pallas"] = True
     if "--no-pallas-integrate" in sys.argv:
         kwargs["use_pallas_integrate"] = False
+    if "--f32" in sys.argv:
+        kwargs["compute_dtype"] = "float32"
     for i, a in enumerate(sys.argv):
         if a == "--compaction" and i + 1 < len(sys.argv):
             kwargs["ess_compaction"] = float(sys.argv[i + 1])
@@ -105,12 +138,38 @@ def main():
     dt = (time.time() - t0) / n_iters
     rays_per_s = H * W / dt
 
-    print(json.dumps({
+    # train-step throughput (same chip, same model, 1024-ray batches like
+    # configs/nerf/lego.yaml; --no-train skips it)
+    record = {
         "metric": "lego_800x800_fwd_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / XLA_BASELINE_RAYS_PER_S, 3),
-    }))
+    }
+    if "--no-train" not in sys.argv:
+        n_rays = 1024
+        for i, a in enumerate(sys.argv):
+            if a == "--train-rays" and i + 1 < len(sys.argv):
+                n_rays = int(sys.argv[i + 1])
+        try:
+            from nerf_tpu.data.blender import BlenderDataset
+
+            tds = BlenderDataset(LEGO_ROOT, split="train", scene="lego",
+                                 cams=[0, 8, 1], H=H, W=W)
+            images_u8 = jnp.asarray(
+                np.round(tds.images * 255).astype(np.uint8))
+            tposes = jnp.asarray(tds.poses)
+        except Exception:
+            rng = np.random.RandomState(0)
+            images_u8 = jnp.asarray(
+                rng.randint(0, 256, (2, H, W, 3), np.uint8))
+            tposes = jnp.broadcast_to(jnp.eye(4).at[2, 3].set(4.0), (2, 4, 4))
+        train_rps = bench_train(params, images_u8, tposes, K, opts, grid,
+                                n_rays)
+        record["train_rays_per_s"] = round(train_rps, 1)
+        record["train_vs_baseline"] = round(
+            train_rps / TRAIN_BASELINE_RAYS_PER_S, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -133,7 +133,17 @@ class BlenderDataset:
 
 
 def make_dataset(cfg, split: str) -> BlenderDataset:
-    """Dataset factory from the config tree (train_dataset / test_dataset)."""
+    """Dataset factory from the config tree (train_dataset / test_dataset).
+
+    Dispatches on ``cfg.<split>_dataset_module`` (the explicit-registry
+    replacement of the reference's ``imp.load_source`` factory,
+    make_dataset.py:16-29): "blender" (default) or "synthetic" (in-memory,
+    for dryruns/tests)."""
+    module = str(cfg.get(f"{split}_dataset_module", "blender"))
+    if module == "synthetic":
+        from .synthetic import make_synthetic_dataset
+
+        return make_synthetic_dataset(cfg, split)
     node = cfg.train_dataset if split == "train" else cfg.test_dataset
     return BlenderDataset(
         data_root=node.data_root,

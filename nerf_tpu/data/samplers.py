@@ -85,6 +85,51 @@ class IterationBasedSampler:
         return self.num_iterations - self.start_iter
 
 
+class ImageSizeBatchSampler:
+    """Batches of (H, W, index): one random crop size per batch (reference
+    ``ImageSizeBatchSampler``, samplers.py:10-47 — template residue there,
+    implemented for surface completeness). Sizes are drawn uniformly from
+    [min, max] rounded to multiples of ``divisor``; the same (H, W) is
+    attached to every sample of a batch so variable-resolution pipelines can
+    collate."""
+
+    def __init__(self, sampler, batch_size: int, drop_last: bool = False,
+                 min_size: int = 256, max_size: int = 480, divisor: int = 32,
+                 seed: int = 0):
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.hmin = self.wmin = min_size
+        self.hmax = self.wmax = max_size
+        self.divisor = divisor
+        self.rng = np.random.RandomState(seed)
+
+    def _rand_size(self):
+        h = self.rng.randint(self.hmin, self.hmax + 1)
+        w = self.rng.randint(self.wmin, self.wmax + 1)
+        h = (h | (self.divisor - 1)) + 1
+        w = (w | (self.divisor - 1)) + 1
+        return h, w
+
+    def __iter__(self):
+        batch = []
+        h, w = self._rand_size()
+        for idx in self.sampler:
+            batch.append((idx, h, w))
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+                h, w = self._rand_size()
+        if batch and not self.drop_last:
+            yield batch
+
+    def __len__(self):
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+
 def make_dataset_catalog() -> dict:
     """Static dataset-root catalog (dataset_catalog.py analog)."""
     return {

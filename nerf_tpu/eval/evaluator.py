@@ -37,9 +37,11 @@ class Evaluator:
     @staticmethod
     def _to_unit_range(img: np.ndarray, name: str) -> np.ndarray:
         """Defensive range handling (reference evaluators/nerf.py:33-48):
-        [0,255]-scaled inputs are auto-normalized before clipping."""
+        [0,255]-scaled inputs are auto-normalized before clipping. The
+        trigger is conservative (max > 2): a float prediction marginally
+        above 1 (background-composite rounding) is clipped, not rescaled."""
         img = np.asarray(img, np.float32)
-        if img.size and float(img.max()) > 1.0 + 1e-6:
+        if img.size and float(img.max()) > 2.0:
             print(f"WARNING: {name} image not in [0,1]; "
                   "auto-normalizing from [0,255]")
             img = img / 255.0

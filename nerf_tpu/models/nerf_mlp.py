@@ -128,3 +128,41 @@ def load_torch_state_dict(state_dict, D: int = 8, use_viewdirs: bool = True) -> 
         params["output_linear"] = {
             "w": t("output_linear.weight").T, "b": t("output_linear.bias")}
     return params
+
+
+def load_weights_from_keras(weights, D: int = 8, use_viewdirs: bool = True) -> Params:
+    """Build the param pytree from the original TF-NeRF keras weight list
+    (reference ``load_weights_from_keras``, src/models/nerf/network.py:76-123).
+
+    ``weights`` is the flat list from ``np.load(..., allow_pickle=True)`` of
+    the original-NeRF TF checkpoints: [kernel, bias] pairs in the order
+    pts_linears[0..D-1], feature_linear, views_linears[0], rgb_linear,
+    alpha_linear. Keras kernels are already [in, out] — our native layout —
+    so unlike the reference (which transposes into torch [out, in]) this is
+    a straight copy.
+    """
+    import numpy as np
+
+    if not use_viewdirs:
+        raise ValueError(
+            "original TF-NeRF keras checkpoints are viewdir models")
+
+    def pair(idx):
+        return (
+            jnp.asarray(np.asarray(weights[2 * idx], np.float32)),
+            jnp.asarray(np.asarray(weights[2 * idx + 1], np.float32)),
+        )
+
+    params: Params = {"pts_linears": []}
+    for i in range(D):
+        w, b = pair(i)
+        params["pts_linears"].append({"w": w, "b": b})
+    w, b = pair(D)
+    params["feature_linear"] = {"w": w, "b": b}
+    w, b = pair(D + 1)
+    params["views_linears"] = [{"w": w, "b": b}]
+    w, b = pair(D + 2)
+    params["rgb_linear"] = {"w": w, "b": b}
+    w, b = pair(D + 3)
+    params["alpha_linear"] = {"w": w, "b": b}
+    return params

@@ -22,7 +22,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _integrate_kernel(ert_ref, sigma_ref, rgb_ref, z_ref, dnorm_ref,
-                      rgb_map_ref, depth_ref, acc_ref, weights_ref):
+                      rgb_map_ref, depth_ref, acc_ref, weights_ref,
+                      *, sigma_activation: str = "relu"):
     f32 = jnp.float32
     sigma = sigma_ref[:]          # [T, S] raw density
     z = z_ref[:]                  # [T, S]
@@ -32,7 +33,12 @@ def _integrate_kernel(ert_ref, sigma_ref, rgb_ref, z_ref, dnorm_ref,
         [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1)
     dists = dists * dnorm
 
-    lam = jnp.maximum(sigma, 0.0) * dists
+    if sigma_activation == "relu":
+        dens = jnp.maximum(sigma, 0.0)
+    else:  # softplus, in the exp/log/max subset that lowers on Pallas-TPU:
+        # softplus(x) = max(x, 0) + log(1 + exp(-|x|))
+        dens = jnp.maximum(sigma, 0.0) + jnp.log(1.0 + jnp.exp(-jnp.abs(sigma)))
+    lam = dens * dists
     alpha = 1.0 - jnp.exp(-lam)
     # log(1 - alpha + 1e-10) = log(exp(-lam) + 1e-10) = logaddexp, computed
     # stably and with exp/log/max only (expm1/log1p/logaddexp have no
@@ -67,7 +73,8 @@ def _integrate_kernel(ert_ref, sigma_ref, rgb_ref, z_ref, dnorm_ref,
     weights_ref[:] = weights
 
 
-@partial(jax.jit, static_argnames=("tile", "white_bkgd", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "white_bkgd", "interpret",
+                                   "sigma_activation"))
 def integrate_pallas(
     sigma: jnp.ndarray,     # [N, S] raw density
     rgb_raw: jnp.ndarray,   # [N, S, 3]
@@ -77,6 +84,7 @@ def integrate_pallas(
     white_bkgd: bool = True,
     tile: int = 1024,
     interpret: bool = False,
+    sigma_activation: str = "relu",
 ) -> Dict[str, jnp.ndarray]:
     N, S = sigma.shape
     n_pad = (-N) % tile
@@ -93,7 +101,7 @@ def integrate_pallas(
     ert = jnp.full((1,), ert_threshold, jnp.float32)
 
     out = pl.pallas_call(
-        _integrate_kernel,
+        partial(_integrate_kernel, sigma_activation=sigma_activation),
         out_shape=(
             jax.ShapeDtypeStruct((Np, 3), jnp.float32),   # rgb_map (pre-bg)
             jax.ShapeDtypeStruct((Np, 1), jnp.float32),   # depth
@@ -130,6 +138,59 @@ def integrate_pallas(
             "disp_map": disp, "weights": weights}
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _composite_pallas_diff(raw, z_vals, rays_d, white_bkgd, ert_threshold,
+                           sigma_activation, tile, interpret):
+    """Differentiable compositing: Pallas kernel forward, recompute-XLA
+    backward (the same math via ``render.composite.composite``). The
+    backward is a handful of elementwise ops + one cumsum over S — a
+    negligible slice of a train step, so recompute (not a hand-written
+    Pallas backward) is the right trade here; grad parity is tested in
+    test_integrate_kernel.py. Mirrors ``cuda/integrate.cu:9-57`` which the
+    reference likewise only uses forward (its training never touches the
+    CUDA path) — here it is legal in training too."""
+    return integrate_pallas(
+        raw[..., 3], raw[..., :3], z_vals, rays_d,
+        ert_threshold=ert_threshold, white_bkgd=white_bkgd,
+        tile=tile, interpret=interpret, sigma_activation=sigma_activation,
+    )
+
+
+def _xla_composite_math(raw, z_vals, rays_d, white_bkgd, ert_threshold,
+                        sigma_activation):
+    from ..render.composite import composite
+
+    out = composite(
+        raw, z_vals, rays_d, white_bkgd=white_bkgd,
+        ert_threshold=None if ert_threshold <= 0 else ert_threshold,
+        sigma_activation=sigma_activation,
+    )
+    return {k: out[k] for k in
+            ("rgb_map", "depth_map", "acc_map", "disp_map", "weights")}
+
+
+def _composite_fwd(raw, z_vals, rays_d, white_bkgd, ert_threshold,
+                   sigma_activation, tile, interpret):
+    out = _composite_pallas_diff(raw, z_vals, rays_d, white_bkgd,
+                                 ert_threshold, sigma_activation, tile,
+                                 interpret)
+    return out, (raw, z_vals, rays_d)
+
+
+def _composite_bwd(white_bkgd, ert_threshold, sigma_activation, tile,
+                   interpret, res, g):
+    raw, z_vals, rays_d = res
+    _, vjp = jax.vjp(
+        lambda r, z, d: _xla_composite_math(
+            r, z, d, white_bkgd, ert_threshold, sigma_activation),
+        raw, z_vals, rays_d,
+    )
+    return vjp(g)
+
+
+_composite_pallas_diff.defvjp(_composite_fwd, _composite_bwd)
+
+
 def composite_pallas(
     raw: jnp.ndarray,       # [N, S, 4] (rgb_raw, sigma_raw)
     z_vals: jnp.ndarray,    # [N, S]
@@ -137,15 +198,16 @@ def composite_pallas(
     *,
     white_bkgd: bool = True,
     ert_threshold: float = 0.0,
+    sigma_activation: str = "relu",
     tile: int = 1024,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Drop-in for ``render.composite.composite`` (noise-free, forward-only).
+    """Drop-in for ``render.composite.composite`` (noise-free).
 
     Same output surface minus ``transmittance`` (unused downstream).
+    Differentiable: custom VJP recomputes the XLA composite backward.
     """
-    return integrate_pallas(
-        raw[..., 3], raw[..., :3], z_vals, rays_d,
-        ert_threshold=ert_threshold, white_bkgd=white_bkgd,
-        tile=tile, interpret=interpret,
+    return _composite_pallas_diff(
+        raw, z_vals, rays_d, white_bkgd, ert_threshold, sigma_activation,
+        tile, interpret,
     )

@@ -357,18 +357,20 @@ def render_rays(
     raw = query_fn(params["coarse"], pts, viewdirs, opts)
     ert = opts.ert_threshold if opts.enable_ert else None
 
-    # compositing backend: the Pallas integration kernel is forward-only,
-    # noise-free, and hardcodes relu — eval path on TPU only
-    if (opts.use_pallas_integrate and not train
+    # compositing backend: the Pallas integration kernel (noise-free;
+    # relu/softplus; TPU only). Legal in training too — its custom VJP
+    # recomputes the XLA composite backward (ops/integrate.py).
+    if (opts.use_pallas_integrate
             and opts.raw_noise_std == 0.0
-            and opts.sigma_activation == "relu"
+            and opts.sigma_activation in ("relu", "softplus")
             and jax.default_backend() not in ("cpu", "gpu", "cuda")):
         from ..ops.integrate import composite_pallas
 
         def composite_fn(raw_, z_, noise_key):
             return composite_pallas(
                 raw_, z_, rays_d, white_bkgd=opts.white_bkgd,
-                ert_threshold=0.0 if ert is None else ert)
+                ert_threshold=0.0 if ert is None else ert,
+                sigma_activation=opts.sigma_activation)
     else:
         def composite_fn(raw_, z_, noise_key):
             return composite(

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.blender import make_dataset
+from ..parallel.mesh import init_distributed, make_mesh, replicate
 from ..parallel.multihost import is_main_process
 from ..models.encoders import freq_encode
 from ..models.nerf_mlp import apply_nerf_mlp, init_nerf_mlp
@@ -123,11 +124,33 @@ def check_finite_stats(host_stats: dict, epoch: int = 0, iteration: int = 0):
     ``FloatingPointError``, which ``--auto_restart`` converts into a
     resume from the latest checkpoint.
     """
-    bad = {k: v for k, v in host_stats.items() if not math.isfinite(v)}
+    # psnr = -10*log10(mse) is legitimately +inf when a step's MSE is exactly
+    # 0 (tiny scenes / img-fit); only NaN or -inf psnr is anomalous.
+    bad = {
+        k: v for k, v in host_stats.items()
+        if not math.isfinite(v) and not (k.endswith("psnr") and v > 0)
+    }
     if bad:
         raise FloatingPointError(
             f"non-finite training stats at epoch {epoch} iter {iteration}: "
             f"{bad}")
+
+
+def make_train_mesh(cfg, n_rays: int):
+    """Data-parallel mesh for the trainer (the reference's NCCL/DDP init,
+    train.py:116-120 / trainer.py:14-21, as a jax.sharding.Mesh).
+
+    Spans every addressable device whose count divides the ray batch
+    (size 1 = single-chip behavior); ``cfg.mesh_devices`` caps it."""
+    if bool(cfg.get("distributed", False)):
+        init_distributed()
+    n_dev = len(jax.devices())
+    want = cfg.get("mesh_devices", "all")
+    if want != "all":
+        n_dev = min(n_dev, int(want))
+    while n_rays % n_dev != 0:
+        n_dev -= 1
+    return make_mesh(n_dev)
 
 
 def train(cfg, max_epochs: Optional[int] = None):
@@ -136,19 +159,27 @@ def train(cfg, max_epochs: Optional[int] = None):
     key = jax.random.PRNGKey(seed)
     k_init, k_grid, k_train = jax.random.split(key, 3)
 
-    # data -> device
+    n_rays = int(cfg.task_arg.N_rays)
+    mesh = make_train_mesh(cfg, n_rays)
+    if len(mesh.devices.flat) > 1:
+        print(f"data-parallel mesh: {len(mesh.devices.flat)} devices")
+
+    # data -> device (replicated over the mesh; the per-step ray batch is
+    # what shards, inside train_steps)
     ds = make_dataset(cfg, "train")
-    images_u8 = jnp.asarray(np.round(ds.images * 255).astype(np.uint8))
-    poses = jnp.asarray(ds.poses)
-    intrinsics = jnp.asarray(ds.K)
+    images_u8 = replicate(
+        mesh, jnp.asarray(np.round(ds.images * 255).astype(np.uint8)))
+    poses = replicate(mesh, jnp.asarray(ds.poses))
+    intrinsics = replicate(mesh, jnp.asarray(ds.K))
     print(f"train data: {len(ds)} images {ds.H}x{ds.W}")
 
     params = init_nerf_params(k_init, opts)
     tx = make_optimizer(cfg)
-    state = init_state(params, tx)
+    state = replicate(mesh, init_state(params, tx))
     # seed grid kept around as the rebuild starting point
     seed_grid = (
-        occ.init_grid(k_grid, int(cfg.get("occupancy_grid_resolution", 128)))
+        replicate(mesh, occ.init_grid(
+            k_grid, int(cfg.get("occupancy_grid_resolution", 128))))
         if opts.enable_ess
         else None
     )
@@ -163,6 +194,7 @@ def train(cfg, max_epochs: Optional[int] = None):
     ckpt = load_checkpoint(model_dir, state)
     if ckpt is not None:
         state, begin_epoch, rec_state = ckpt
+        state = replicate(mesh, state)
         begin_epoch += 1
         recorder.load_state_dict(rec_state)
         print(f"resumed from epoch {begin_epoch - 1}")
@@ -180,11 +212,10 @@ def train(cfg, max_epochs: Optional[int] = None):
         loaded = load_params(pdir, state.params, tag=tag)
         if loaded is None:
             raise FileNotFoundError(f"pretrain checkpoint not found: {p}")
-        state = state._replace(params=loaded)
+        state = replicate(mesh, state._replace(params=loaded))
         print(f"initialized weights from pretrain: {p}")
 
     ep_iter = int(cfg.get("ep_iter", 500))
-    n_rays = int(cfg.task_arg.N_rays)
     log_interval = max(1, int(cfg.get("log_interval", 10)))
     # steps per compiled scan. The tunnel/relay kills any single device
     # execution that runs too long (observed: ~25 hashgrid steps = ~60 s
@@ -222,7 +253,7 @@ def train(cfg, max_epochs: Optional[int] = None):
                 n = min(chunk, ep_iter - done)
                 state, stats = train_steps(
                     state, images_u8, poses, intrinsics, k_train, tx, opts,
-                    n_rays, n, grid=grid,
+                    n_rays, n, grid=grid, mesh=mesh,
                 )
             done += n
             host_stats = {k2: float(v) for k2, v in stats.items()}
@@ -250,7 +281,8 @@ def train(cfg, max_epochs: Optional[int] = None):
         # ESS grid rebuild from the learned density (KiloNeRF method)
         if grid is not None and (epoch + 1) % grid_rebuild_ep == 0:
             density_fn = make_density_fn(state.params["coarse"], opts)
-            grid = occ.populate_from_density(seed_grid, density_fn)
+            grid = replicate(mesh, occ.populate_from_density(
+                seed_grid, density_fn))
             rate = float(jnp.mean(grid.occupied.astype(jnp.float32)))
             print(f"occupancy grid rebuilt: {rate * 100:.2f}% occupied")
 

@@ -12,10 +12,15 @@ import jax.numpy as jnp
 import optax
 
 
-def exponential_epoch_schedule(base_lr: float, gamma: float, decay_epochs: int, ep_iter: int):
+def exponential_epoch_schedule(base_lr: float, gamma: float, decay_epochs: int,
+                               ep_iter: int, lr_min: float = 0.0):
+    """lr = base * gamma^(epoch/decay_epochs), floored at ``lr_min`` (the
+    floor keeps long continuation runs from decaying into the noise; 0 =
+    reference behavior)."""
+
     def schedule(step):
         epoch = step // ep_iter
-        return base_lr * gamma ** (epoch / decay_epochs)
+        return jnp.maximum(base_lr * gamma ** (epoch / decay_epochs), lr_min)
 
     return schedule
 
@@ -54,6 +59,7 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
         sched = exponential_epoch_schedule(
             float(tr.lr), float(sched_cfg.gamma), int(sched_cfg.decay_epochs),
             int(cfg.get("ep_iter", 500)),
+            lr_min=float(sched_cfg.get("lr_min", 0.0)),
         )
     elif sched_cfg.get("type") == "warmup_multi_step":
         ep_iter = int(cfg.get("ep_iter", 500))

@@ -17,9 +17,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
 from ..render.occupancy import OccupancyGrid
 from ..render.rays import rays_for_pixels
-from ..render.renderer import RenderOptions, query_network_xla, render_rays
+from ..render.renderer import RenderOptions, render_rays
 
 
 class TrainState(NamedTuple):
@@ -41,10 +43,11 @@ def nerf_loss(
     opts: RenderOptions,
     grid: Optional[OccupancyGrid],
 ):
-    # training uses the XLA query path until the fused kernel's custom VJP
-    # lands (the Pallas forward has no autodiff rule)
-    out = render_rays(params, rays_o, rays_d, key, opts, grid=grid, train=True,
-                      query_fn=query_network_xla)
+    # query dispatch lives in the renderer (get_query_fn): on TPU with
+    # opts.use_pallas this is the fused Pallas kernel pair — forward
+    # (ops/fused_mlp.py) + hand-written Pallas backward via its custom VJP
+    # (ops/fused_mlp_bwd.py, grad-parity tested in test_fused_bwd.py)
+    out = render_rays(params, rays_o, rays_d, key, opts, grid=grid, train=True)
     loss_coarse = jnp.mean((out["rgb_map_0"] - target) ** 2)
     stats = {"loss_coarse": loss_coarse}
     loss = loss_coarse
@@ -84,7 +87,7 @@ def sample_ray_batch(
 
 @partial(
     jax.jit,
-    static_argnames=("tx", "opts", "n_rays", "n_steps"),
+    static_argnames=("tx", "opts", "n_rays", "n_steps", "mesh"),
     donate_argnames=("state",),
 )
 def train_steps(
@@ -98,9 +101,19 @@ def train_steps(
     n_rays: int,
     n_steps: int,
     grid: Optional[OccupancyGrid] = None,
+    mesh: Optional[Mesh] = None,
 ):
     """Run ``n_steps`` train steps in one compiled scan (keeps the chip busy;
-    stats come back as the mean over the chunk)."""
+    stats come back as the mean over the chunk).
+
+    With ``mesh`` set, each step's ray batch is sharded over the mesh's
+    ``data`` axis (params replicated) — the data-parallel step of the
+    reference's DDP trainer (trainer.py:14-21): all per-ray compute shards,
+    and the gradient all-reduce is the psum XLA inserts for the
+    replicated-parameter gradients, overlapped with backward."""
+    ray_sharding = (
+        NamedSharding(mesh, P(mesh.axis_names[0])) if mesh is not None else None
+    )
 
     def body(state, _):
         k = jax.random.fold_in(key, state.step)
@@ -108,6 +121,10 @@ def train_steps(
         rays_o, rays_d, target = sample_ray_batch(
             k_batch, images_u8, poses, intrinsics, n_rays
         )
+        if ray_sharding is not None:
+            rays_o = jax.lax.with_sharding_constraint(rays_o, ray_sharding)
+            rays_d = jax.lax.with_sharding_constraint(rays_d, ray_sharding)
+            target = jax.lax.with_sharding_constraint(target, ray_sharding)
         (loss, stats), grads = jax.value_and_grad(nerf_loss, has_aux=True)(
             state.params, rays_o, rays_d, target, k_render, opts, grid
         )
@@ -169,8 +186,7 @@ def train_step_full_image(
     valid = valid.reshape(n_tiles, tile)
 
     def tile_loss(params, ro, rd, tgt, v, k):
-        out = render_rays(params, ro, rd, k, opts, grid=grid, train=True,
-                          query_fn=query_network_xla)
+        out = render_rays(params, ro, rd, k, opts, grid=grid, train=True)
         # per-tile SUM of squared error (averaged over the image at the end)
         se_c = jnp.sum(((out["rgb_map_0"] - tgt) ** 2) * v[:, None])
         rgb_fine = out.get("rgb_map", out["rgb_map_0"])

@@ -189,10 +189,17 @@ def resize_image(img, mask, ixt, input_size):
 
 
 def resize_images(imgs, masks, ixt, input_size):
-    """Vector form of :func:`resize_image` sharing one intrinsic. Ref :94-107."""
+    """Vector form of :func:`resize_image` sharing one intrinsic. Ref :94-107.
+
+    The shared intrinsic is scaled once from the FIRST image's size (the
+    reference scales the shared ixt once) — well-defined for empty input
+    and mixed-size batches alike."""
     out_i, out_m = [], []
-    for img, mask in zip(imgs, masks):
-        img, mask, new_ixt = resize_image(img, mask, np.array(ixt), input_size)
+    new_ixt = np.array(ixt, np.float32)
+    for i, (img, mask) in enumerate(zip(imgs, masks)):
+        img, mask, scaled = resize_image(img, mask, np.array(ixt), input_size)
+        if i == 0:
+            new_ixt = scaled
         out_i.append(img)
         out_m.append(mask)
     return out_i, out_m, new_ixt

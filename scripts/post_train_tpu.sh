@@ -16,7 +16,7 @@ timeout 900 python -u bench.py > /tmp/post_train/bench_xla.log 2>&1
 timeout 900 python -u bench.py --pallas > /tmp/post_train/bench_pallas.log 2>&1
 timeout 900 python -u bench.py --pallas --ktile 4096 > /tmp/post_train/bench_pallas_kt4096.log 2>&1
 timeout 900 python -u bench.py --pallas --ktile 8192 > /tmp/post_train/bench_pallas_kt8192.log 2>&1
-timeout 900 python -u bench.py --pallas-integrate > /tmp/post_train/bench_integrate.log 2>&1
+timeout 900 python -u bench.py --no-pallas-integrate > /tmp/post_train/bench_no_integrate.log 2>&1
 timeout 900 python -u bench.py --tile 16384 > /tmp/post_train/bench_t16384.log 2>&1
 timeout 900 python -u bench.py --tile 32768 > /tmp/post_train/bench_t32768.log 2>&1
 timeout 900 python -u bench.py --compaction 0.5 > /tmp/post_train/bench_comp05.log 2>&1

@@ -5,9 +5,16 @@
 # — never by pattern, and never orphaning the python (the round-1
 # continuation bug: recording the shell wrapper's PID left the real python
 # alive while relaunching a second TPU process).
-LOG=/tmp/train_r1c.log
+LOG=${WATCHDOG_LOG:-/tmp/train_r1c.log}
 PGIDFILE=/tmp/train_r1c.pgid
-CMD="timeout 25000 python -u train.py --cfg_file configs/nerf/lego.yaml train_dataset.data_root /root/reference/data/nerf_synthetic test_dataset.data_root /root/reference/data/nerf_synthetic"
+CMD=${WATCHDOG_CMD:-"timeout 25000 python -u train.py --cfg_file configs/nerf/lego.yaml train_dataset.data_root /root/reference/data/nerf_synthetic test_dataset.data_root /root/reference/data/nerf_synthetic"}
+
+# fresh run: truncate the (append-mode) log and clear the done marker so a
+# stale "training complete" from a PREVIOUS run can't mask a crash of this
+# one (a crashed new run would otherwise grep the old line, touch
+# /tmp/train_done, and falsely signal completion)
+: > "$LOG"
+rm -f /tmp/train_done
 
 launch() {
   setsid bash -c "echo \$\$ > $PGIDFILE; exec $CMD >> $LOG 2>&1" &

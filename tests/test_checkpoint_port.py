@@ -84,3 +84,36 @@ def test_torch_reference_checkpoint_port(tmp_path):
     with torch.no_grad():
         want = mf(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_load_weights_from_keras():
+    """Original TF-NeRF keras weight list -> param pytree (reference
+    network.py:76-123 analog; keras kernels are [in, out] = our layout)."""
+    import numpy as np
+
+    from nerf_tpu.models.nerf_mlp import apply_nerf_mlp, load_weights_from_keras
+
+    rng = np.random.RandomState(0)
+    D, W, in_ch, in_views = 8, 32, 63, 27
+    dims = []
+    for i in range(D):
+        fan_in = in_ch if i == 0 else (W + in_ch if i == 5 else W)
+        dims.append((fan_in, W))
+    dims += [(W, W), (W + in_views, W // 2), (W // 2, 3), (W, 1)]
+    weights = []
+    for fi, fo in dims:
+        weights.append(rng.randn(fi, fo).astype(np.float32))
+        weights.append(rng.randn(fo).astype(np.float32))
+
+    params = load_weights_from_keras(weights, D=D)
+    # layout checks: keras kernel goes in untransposed
+    np.testing.assert_array_equal(
+        np.asarray(params["pts_linears"][0]["w"]), weights[0])
+    np.testing.assert_array_equal(
+        np.asarray(params["alpha_linear"]["w"]), weights[2 * (D + 3)])
+    # the loaded tree drives the MLP end to end
+    x = rng.randn(5, in_ch + in_views).astype(np.float32)
+    out = apply_nerf_mlp(params, x, input_ch=in_ch, skips=(4,),
+                         use_viewdirs=True)
+    assert out.shape == (5, 4)
+    assert np.isfinite(np.asarray(out)).all()

@@ -40,6 +40,50 @@ def test_matches_composite_with_ert():
     _compare(0.01)
 
 
+def test_softplus_activation():
+    raw, z, d = _inputs()
+    want = composite(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(d),
+                     white_bkgd=True, sigma_activation="softplus")
+    got = integrate_pallas(
+        jnp.asarray(raw[..., 3]), jnp.asarray(raw[..., :3]),
+        jnp.asarray(z), jnp.asarray(d),
+        white_bkgd=True, tile=32, interpret=True,
+        sigma_activation="softplus",
+    )
+    for k in ("rgb_map", "depth_map", "acc_map", "weights"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), atol=2e-5, err_msg=k)
+
+
+def test_composite_pallas_grad_parity():
+    """use_pallas_integrate is legal in training: the custom VJP must match
+    the XLA composite's gradients."""
+    import jax
+
+    from nerf_tpu.ops.integrate import composite_pallas
+
+    raw, z, d = _inputs(n=32, s=16)
+    raw_j, z_j, d_j = jnp.asarray(raw), jnp.asarray(z), jnp.asarray(d)
+    tgt = jnp.asarray(np.random.RandomState(1).rand(32, 3).astype(np.float32))
+
+    def loss_pallas(r, zz):
+        out = composite_pallas(r, zz, d_j, white_bkgd=True,
+                               ert_threshold=0.01, tile=32, interpret=True)
+        return jnp.mean((out["rgb_map"] - tgt) ** 2) + 0.1 * jnp.mean(
+            out["weights"])
+
+    def loss_xla(r, zz):
+        out = composite(r, zz, d_j, white_bkgd=True, ert_threshold=0.01)
+        return jnp.mean((out["rgb_map"] - tgt) ** 2) + 0.1 * jnp.mean(
+            out["weights"])
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1))(raw_j, z_j)
+    g_x = jax.grad(loss_xla, argnums=(0, 1))(raw_j, z_j)
+    for got, want in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_padding_path():
     raw, z, d = _inputs(n=50)  # not a multiple of tile
     got = integrate_pallas(

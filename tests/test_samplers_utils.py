@@ -152,3 +152,27 @@ def test_mask_utils_catalogs():
     assert get_label_id_mapping(use_human_mask=True) is label_id_mapping_human
     assert get_class_ids_from_labels(["wall", "flag"]) == [0, 149]
     assert get_class_ids_from_labels(["person"], use_human_mask=True) == [1]
+
+
+def test_image_size_batch_sampler():
+    from nerf_tpu.data.samplers import ImageSizeBatchSampler
+
+    s = ImageSizeBatchSampler(range(10), batch_size=4, min_size=256,
+                              max_size=480, divisor=32, seed=0)
+    batches = list(s)
+    assert len(batches) == len(s) == 3
+    assert [len(b) for b in batches] == [4, 4, 2]
+    seen_sizes = set()
+    for b in batches:
+        idxs = [x[0] for x in b]
+        sizes = {(h, w) for _, h, w in b}
+        assert len(sizes) == 1  # one size per batch
+        (h, w), = sizes
+        assert h % 32 == 0 and w % 32 == 0
+        assert 256 <= h <= 512 and 256 <= w <= 512
+        seen_sizes.add((h, w))
+        assert all(isinstance(i, int) for i in idxs)
+    assert len(seen_sizes) > 1  # sizes vary across batches
+
+    s2 = ImageSizeBatchSampler(range(10), batch_size=4, drop_last=True)
+    assert len(list(s2)) == len(s2) == 2

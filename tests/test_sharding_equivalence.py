@@ -54,3 +54,25 @@ def test_mesh_size_invariance(devices):
         ref_loss, ref_w = cache[1]
         assert abs(loss - ref_loss) < 1e-5, (loss, ref_loss)
         np.testing.assert_allclose(w, ref_w, atol=1e-6)
+
+
+@pytest.mark.parametrize("devices", [1, 8])
+def test_full_loop_mesh_invariance(devices, tmp_path):
+    """The REAL trainer (train/loop.py) on a 1-device vs 8-device mesh must
+    produce the same trained parameters — i.e. `python train.py` is now a
+    distributed program whose numerics don't depend on the mesh size."""
+    if len(jax.devices()) < devices:
+        pytest.skip("not enough devices")
+    import __graft_entry__ as ge
+    from nerf_tpu.train.loop import train
+
+    cfg = ge.dryrun_tiny_cfg(devices, str(tmp_path / f"ws{devices}"))
+    cfg.task_arg.N_rays = 64  # same global batch for every mesh size
+    state, _ = train(cfg)
+
+    w = np.asarray(state.params["coarse"]["pts_linears"][0]["w"])
+    assert np.all(np.isfinite(w))
+    cache = test_full_loop_mesh_invariance.__dict__.setdefault("cache", {})
+    cache[devices] = w
+    if 1 in cache and devices != 1:
+        np.testing.assert_allclose(w, cache[1], atol=2e-5)
