@@ -199,7 +199,8 @@ def query_network_kilonerf(params, pts, viewdirs, opts, cfg: KiloConfig = None):
 
 
 @partial(jax.jit,
-         static_argnames=("teacher_query_fn", "tx_update", "cfg", "n_pts"),
+         static_argnames=("teacher_query_fn", "tx_update", "cfg", "n_pts",
+                          "voxel_size", "occ_frac"),
          donate_argnames=("params", "opt_state"))
 def distill_step(
     params: Dict,
@@ -209,15 +210,37 @@ def distill_step(
     tx_update,
     cfg: KiloConfig,
     n_pts: int = 65536,
+    occ_centers: jnp.ndarray = None,
+    voxel_size: float = 0.0,
+    occ_frac: float = 0.5,
 ):
     """One KiloNeRF distillation step: match the teacher's activated outputs
-    (sigmoid rgb, relu sigma) at uniform random (point, direction) samples —
-    the reference/KiloNeRF training recipe for the many-small-MLPs model."""
+    (sigmoid rgb, relu sigma) at random (point, direction) samples — the
+    reference/KiloNeRF training recipe for the many-small-MLPs model.
+
+    Sampling is occupancy-weighted when ``occ_centers`` ([M, 3] centers of
+    the teacher's occupied voxels) is given: ``occ_frac`` of the batch is
+    drawn inside occupied voxels (center + uniform jitter of ``voxel_size``)
+    and the rest uniformly over the box. Pure uniform sampling wastes ~90%
+    of the student's fitting budget on empty space (round-1 student:
+    12.95 dB) — the KiloNeRF recipe concentrates samples near geometry."""
     import optax
 
     k1, k2 = jax.random.split(key)
-    pts = jax.random.uniform(k1, (n_pts, 3), jnp.float32,
-                             cfg.bbox_min, cfg.bbox_max)
+    if occ_centers is not None and occ_centers.shape[0] > 0:
+        k1a, k1b, k1c = jax.random.split(k1, 3)
+        n_occ = int(n_pts * occ_frac)
+        vid = jax.random.randint(k1a, (n_occ,), 0, occ_centers.shape[0])
+        jitter = jax.random.uniform(
+            k1b, (n_occ, 3), jnp.float32, -0.5, 0.5) * voxel_size
+        pts_occ = occ_centers[vid] + jitter
+        pts_uni = jax.random.uniform(k1c, (n_pts - n_occ, 3), jnp.float32,
+                                     cfg.bbox_min, cfg.bbox_max)
+        pts = jnp.concatenate([pts_occ, pts_uni], axis=0)
+        pts = jnp.clip(pts, cfg.bbox_min, cfg.bbox_max)
+    else:
+        pts = jax.random.uniform(k1, (n_pts, 3), jnp.float32,
+                                 cfg.bbox_min, cfg.bbox_max)
     dirs = jax.random.normal(k2, (n_pts, 3), jnp.float32)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 

@@ -351,8 +351,18 @@ def render_rays(
     # ESS refocusing (step 1) already concentrates its samples into
     # occupied space, so an occupancy-mask compaction would keep ~100% of
     # them and only risk overflow holes.
+    # Compaction is eval-only (like the reference's compacted DDA pipeline,
+    # generate_inputs.cu:60-193 — an inference path). In TRAINING the kept
+    # rate routinely exceeds the capacity fraction: ESS refocusing puts the
+    # coarse (and hence fine) samples inside occupied voxels by design, and
+    # the early-training transmittance never crosses the ERT threshold — so
+    # the global cumsum compaction drops every sample of every ray past the
+    # capacity prefix. Those rays composite to pure background with ZERO
+    # gradient to the fine model: the round-1 "hashgrid fine model never
+    # trains" failure (lego_hashgrid sets ess_compaction 0.35).
     use_compaction = (
         opts.enable_ess and grid is not None and opts.ess_compaction > 0.0
+        and not train
     )
     raw = query_fn(params["coarse"], pts, viewdirs, opts)
     ert = opts.ert_threshold if opts.enable_ert else None

@@ -51,6 +51,9 @@ run ess_ns32_ni96 900 python -u $AB task_arg.N_samples 32 \
 # 4) profiler trace + MFU split (eval tile + train chunk)
 run profile 1200 python -u scripts/profile_tpu.py
 
+# 5a) kilonerf stage breakdown (where do the 3x-slower cycles go?)
+run kilo_diag 1200 python -u scripts/diag_kilonerf_tpu.py
+
 # 6) hashgrid fine-convergence smoke (the round-1 failure: fine model stuck
 #    at background; root cause = fine-pass compaction starving training —
 #    now disabled under train=True). 6 epochs is enough to see loss_fine

@@ -133,3 +133,40 @@ def test_fine_pass_ert_compaction_matches_dense():
     t_after = 1.0 - np.cumsum(cw, -1)
     kept = (t_after >= 0.01).mean()
     assert kept < 0.6  # most fine samples are past termination
+
+
+def test_compaction_disabled_in_training():
+    """Compaction is an inference optimization and must be OFF under
+    train=True: early in training the kept rate (occ & coarse-T mask)
+    exceeds any useful capacity fraction, and the global cumsum compaction
+    then drops EVERY sample of every ray past the capacity prefix — those
+    rays composite to pure background with zero gradient to the fine model
+    (the round-1 "lego_hashgrid fine model never trains" failure)."""
+    import dataclasses
+
+    opts, params, grid = _setup(frac=0.05)  # starved capacity
+    grid = occ.full_grid(32)  # everything occupied: kept rate ~100%
+    rng = np.random.RandomState(5)
+    rays_o = jnp.asarray(np.zeros((32, 3), np.float32))
+    d = rng.randn(32, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(d)
+
+    out_tr = render_rays(params, rays_o, rays_d, jax.random.PRNGKey(0), opts,
+                         grid=grid, train=True)
+    out_off = render_rays(
+        params, rays_o, rays_d, jax.random.PRNGKey(0),
+        dataclasses.replace(opts, ess_compaction=0.0), grid=grid, train=True)
+    np.testing.assert_array_equal(np.asarray(out_tr["rgb_map"]),
+                                  np.asarray(out_off["rgb_map"]))
+
+    # and the fine model gets gradient from EVERY ray (the starved-capacity
+    # eval path would zero the suffix rays' fine gradients entirely)
+    def last_ray_loss(p):
+        out = render_rays(p, rays_o, rays_d, jax.random.PRNGKey(0), opts,
+                          grid=grid, train=True)
+        return jnp.sum(out["rgb_map"][-1] ** 2)
+
+    g = jax.grad(last_ray_loss)(params)
+    gw = np.asarray(g["fine"]["pts_linears"][0]["w"])
+    assert np.isfinite(gw).all() and (gw != 0).any()
