@@ -55,7 +55,27 @@ def bench_train(params, images_u8, poses, K, opts, grid, n_rays: int,
     return n_steps * n_rays / dt
 
 
+def wait_for_tpu():
+    """Cooperatively take the chip: ONE TPU process at a time (CLAUDE.md) —
+    signal a running training stretch to stop (scripts/train_watchdog.sh
+    honors /tmp/stop_training within ~60 s) and wait for it to exit before
+    importing anything that touches the relay."""
+    import subprocess
+
+    try:
+        open("/tmp/stop_training", "w").close()
+    except OSError:
+        return
+    for _ in range(120):  # up to 10 min
+        r = subprocess.run(["pgrep", "-f", "train.py --cfg_file"],
+                           capture_output=True)
+        if r.returncode != 0:
+            return
+        time.sleep(5)
+
+
 def main():
+    wait_for_tpu()
     import jax
     import jax.numpy as jnp
 

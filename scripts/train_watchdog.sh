@@ -33,6 +33,13 @@ launch
 restarts=0
 while [ $restarts -lt 6 ]; do
   sleep 60
+  # cooperative stop: bench.py (run by the round driver on the same chip)
+  # touches this file and waits; yield the TPU and exit cleanly
+  if [ -f /tmp/stop_training ]; then
+    echo "$(date) stop_training signal; yielding TPU" >> /tmp/watchdog.log
+    kill_group
+    exit 0
+  fi
   PG=$(cat "$PGIDFILE" 2>/dev/null)
   if ! kill -0 "$PG" 2>/dev/null; then
     if grep -q "training complete" "$LOG" 2>/dev/null; then
