@@ -59,19 +59,31 @@ def wait_for_tpu():
     """Cooperatively take the chip: ONE TPU process at a time (CLAUDE.md) —
     signal a running training stretch to stop (scripts/train_watchdog.sh
     honors /tmp/stop_training within ~60 s) and wait for it to exit before
-    importing anything that touches the relay."""
+    importing anything that touches the relay. The signal file is always
+    removed afterwards so a later watchdog launch isn't killed by a stale
+    stop request."""
     import subprocess
 
     try:
         open("/tmp/stop_training", "w").close()
     except OSError:
         return
-    for _ in range(120):  # up to 10 min
-        r = subprocess.run(["pgrep", "-f", "train.py --cfg_file"],
-                           capture_output=True)
-        if r.returncode != 0:
-            return
-        time.sleep(5)
+    try:
+        for _ in range(120):  # up to 10 min
+            r = subprocess.run(["pgrep", "-f", "train.py --cfg_file"],
+                               capture_output=True)
+            if r.returncode != 0:
+                return
+            time.sleep(5)
+    finally:
+        try:
+            os.remove("/tmp/stop_training")
+        except OSError:
+            pass
+    # Still running after the timeout: starting a second TPU process wedges
+    # BOTH (futex deadlock, CLAUDE.md). Refuse rather than proceed.
+    sys.exit("bench.py: training still running after 10 min wait; "
+             "refusing to start a second TPU process")
 
 
 def main():
@@ -184,8 +196,19 @@ def main():
             images_u8 = jnp.asarray(
                 rng.randint(0, 256, (2, H, W, 3), np.uint8))
             tposes = jnp.broadcast_to(jnp.eye(4).at[2, 3].set(4.0), (2, 4, 4))
-        train_rps = bench_train(params, images_u8, tposes, K, opts, grid,
-                                n_rays)
+        # The headline train number must measure the REAL training path:
+        # configs/nerf/lego.yaml sets use_pallas_kernels True (fused Pallas
+        # MLP pair) and leaves use_pallas_integrate off — mirror that here
+        # regardless of the forward-bench flags (round-2 verdict: the XLA
+        # default under-reported the trainer by ~20%).
+        train_kwargs = dict(kwargs)
+        train_kwargs["use_pallas"] = True
+        train_kwargs["use_pallas_integrate"] = False
+        if "--train-xla" in sys.argv:  # opt-in: bench the XLA train path
+            train_kwargs["use_pallas"] = False
+        train_opts = RenderOptions(**train_kwargs)
+        train_rps = bench_train(params, images_u8, tposes, K, train_opts,
+                                grid, n_rays)
         record["train_rays_per_s"] = round(train_rps, 1)
         record["train_vs_baseline"] = round(
             train_rps / TRAIN_BASELINE_RAYS_PER_S, 3)

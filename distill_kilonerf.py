@@ -66,15 +66,27 @@ def main(argv=None):
                           int(cfg.get("occupancy_grid_resolution", 128))),
             make_density_fn(teacher["coarse"], opts))
         occ_np = np.asarray(grid.occupied)
-        res = occ_np.shape[0]
-        lo, hi = float(grid.bbox_min[0]), float(grid.bbox_max[0])
-        voxel_size = (hi - lo) / res
+        res = np.asarray(occ_np.shape)
+        lo = np.asarray(grid.bbox_min, np.float64).reshape(3)
+        hi = np.asarray(grid.bbox_max, np.float64).reshape(3)
+        vsz = (hi - lo) / res  # per-axis (the grid box may be non-cubic)
+        voxel_size = float(vsz.max())
         ijk = np.argwhere(occ_np)
         if len(ijk):
-            occ_centers = jnp.asarray(
-                lo + (ijk + 0.5) * voxel_size, jnp.float32)
+            centers = lo + (ijk + 0.5) * vsz
+            # drop centers outside the student's box instead of clipping —
+            # clipped centers pile samples onto the box faces and distort
+            # the occupancy-weighted distribution when near/far differ from
+            # the defaults
+            inside = np.all((centers >= kcfg.bbox_min)
+                            & (centers <= kcfg.bbox_max), axis=1)
+            n_drop = int((~inside).sum())
+            centers = centers[inside]
+            if len(centers):
+                occ_centers = jnp.asarray(centers, jnp.float32)
             print(f"occupancy-weighted distill sampling: "
-                  f"{len(ijk)} voxels ({len(ijk) / res**3:.1%})")
+                  f"{len(centers)} voxels ({len(centers) / res.prod():.1%}"
+                  f"{f', {n_drop} outside student box dropped' if n_drop else ''})")
 
     params = init_kilonerf(jax.random.PRNGKey(0), kcfg)
     tx = optax.adam(lr)

@@ -12,7 +12,10 @@ find checkpoints -name latest.npz | while read -r src; do
   dst=workspace/trained_model/$rel
   ep_src=$(python3 -c "import json;print(json.load(open('checkpoints/$rel/latest.json'))['epoch'])" 2>/dev/null || echo -1)
   ep_dst=$(python3 -c "import json;print(json.load(open('$dst/latest.json'))['epoch'])" 2>/dev/null || echo -1)
-  if [ "$ep_dst" -ge "$ep_src" ] 2>/dev/null; then
+  # an empty workspace (no latest.npz) must ALWAYS restore — the epoch
+  # comparison only applies when a destination checkpoint actually exists
+  # (latest.json can be missing even when latest.npz was snapshotted)
+  if [ -f "$dst/latest.npz" ] && [ "$ep_dst" -ge "$ep_src" ] 2>/dev/null; then
     echo "keep $dst (epoch $ep_dst >= $ep_src)"; continue
   fi
   mkdir -p "$dst"

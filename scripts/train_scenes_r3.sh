@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-3 breadth: train + eval the 7 remaining nerf_synthetic scenes
+# sequentially (ONE TPU process at a time). Budget: 150 epochs/scene
+# (the reference budget is 600; 150 is the declared honest budget for
+# breadth evidence — ~37 min/scene on this chip at 14.6 s/epoch).
+#
+# Per scene: watchdog-supervised training (tunnel wedges auto-recovered),
+# then a 10-frame test eval, then checkpoint snapshot into checkpoints/.
+# Logs: /tmp/scenes_r3/. Touches /tmp/scenes_r3_done at the end.
+set -u
+cd "$(dirname "$0")/.."
+DATA=/root/reference/data/nerf_synthetic
+OUT=/tmp/scenes_r3
+EPOCHS=${SCENE_EPOCHS:-150}
+SCENES=${SCENES:-"chair drums ficus hotdog materials mic ship"}
+mkdir -p $OUT
+
+for scene in $SCENES; do
+  echo "=== scene $scene start $(date +%T)" >> $OUT/progress.log
+  bash scripts/restore_ckpt.sh >> $OUT/progress.log 2>&1
+  WATCHDOG_LOG=$OUT/train_$scene.log \
+  WATCHDOG_CMD="timeout 3000 python -u train.py --cfg_file configs/nerf/$scene.yaml \
+    train_dataset.data_root $DATA test_dataset.data_root $DATA \
+    train.epoch $EPOCHS eval_ep 1000 save_ep 1000 save_latest_ep 10 \
+    auto_restart 3" \
+    bash scripts/train_watchdog.sh
+  echo "=== scene $scene train exit $(date +%T) done=$([ -f /tmp/train_done ] && echo yes || echo no)" >> $OUT/progress.log
+
+  timeout 900 python -u run.py --type evaluate --cfg_file configs/nerf/$scene.yaml \
+    train_dataset.data_root $DATA test_dataset.data_root $DATA \
+    test_dataset.cams "[0,-1,20]" write_video False use_pallas_integrate True \
+    > $OUT/eval_$scene.log 2>&1
+  echo "=== scene $scene eval rc=$? $(date +%T)" >> $OUT/progress.log
+
+  bash scripts/snapshot_ckpt.sh nerf/$scene/nerf >> $OUT/progress.log 2>&1
+done
+
+echo "ALL DONE $(date +%T)" >> $OUT/progress.log
+touch /tmp/scenes_r3_done

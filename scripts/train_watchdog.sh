@@ -15,6 +15,8 @@ CMD=${WATCHDOG_CMD:-"timeout 25000 python -u train.py --cfg_file configs/nerf/le
 # /tmp/train_done, and falsely signal completion)
 : > "$LOG"
 rm -f /tmp/train_done
+# a stale stop request from an earlier bench run must not kill this run
+rm -f /tmp/stop_training
 
 launch() {
   setsid bash -c "echo \$\$ > $PGIDFILE; exec $CMD >> $LOG 2>&1" &

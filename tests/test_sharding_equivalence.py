@@ -1,9 +1,13 @@
 """Sharded train step: numerics must not depend on the mesh size.
 
 The data-parallel claim in one test: running the SAME global batch on a
-1-device mesh and an 8-device mesh must produce the same loss and the same
+1-device mesh and an N-device mesh must produce the same loss and the same
 updated parameters (up to accumulation-order noise) — i.e. sharding + the
 XLA-inserted gradient psum preserve semantics.
+
+Each parametrized case computes its own 1-device reference inside the test
+(round-2 verdict: the previous cross-case function-attribute cache silently
+became a no-op under -k selection or reordering).
 """
 import numpy as np
 import jax
@@ -19,10 +23,8 @@ from nerf_tpu.train.optim import make_optimizer
 from nerf_tpu.train.state import init_state
 
 
-@pytest.mark.parametrize("devices", [1, 2, 8])
-def test_mesh_size_invariance(devices):
-    if len(jax.devices()) < devices:
-        pytest.skip("not enough devices")
+def _run_sharded_step(devices):
+    """One sharded train step on a ``devices``-wide mesh -> (loss, weight)."""
     opts = RenderOptions(
         n_samples=8, n_importance=8, compute_dtype="float32",
         enable_ess=False, enable_ert=False, use_pallas=False,
@@ -46,33 +48,43 @@ def test_mesh_size_invariance(devices):
 
     loss = float(stats["loss"])
     w = np.asarray(state.params["coarse"]["pts_linears"][0]["w"])
-
-    # store/compare against the 1-device result via module-level cache
-    cache = test_mesh_size_invariance.__dict__.setdefault("cache", {})
-    cache[devices] = (loss, w)
-    if 1 in cache and devices != 1:
-        ref_loss, ref_w = cache[1]
-        assert abs(loss - ref_loss) < 1e-5, (loss, ref_loss)
-        np.testing.assert_allclose(w, ref_w, atol=1e-6)
+    return loss, w
 
 
-@pytest.mark.parametrize("devices", [1, 8])
-def test_full_loop_mesh_invariance(devices, tmp_path):
-    """The REAL trainer (train/loop.py) on a 1-device vs 8-device mesh must
-    produce the same trained parameters — i.e. `python train.py` is now a
-    distributed program whose numerics don't depend on the mesh size."""
+def test_single_device_step_finite():
+    loss, w = _run_sharded_step(1)
+    assert np.isfinite(loss)
+    assert np.all(np.isfinite(w))
+
+
+@pytest.mark.parametrize("devices", [2, 8])
+def test_mesh_size_invariance(devices):
     if len(jax.devices()) < devices:
         pytest.skip("not enough devices")
+    ref_loss, ref_w = _run_sharded_step(1)
+    loss, w = _run_sharded_step(devices)
+    assert abs(loss - ref_loss) < 1e-5, (loss, ref_loss)
+    np.testing.assert_allclose(w, ref_w, atol=1e-6)
+
+
+def _run_full_loop(devices, workspace):
+    """The REAL trainer (train/loop.py) on a ``devices``-device mesh."""
     import __graft_entry__ as ge
     from nerf_tpu.train.loop import train
 
-    cfg = ge.dryrun_tiny_cfg(devices, str(tmp_path / f"ws{devices}"))
+    cfg = ge.dryrun_tiny_cfg(devices, workspace)
     cfg.task_arg.N_rays = 64  # same global batch for every mesh size
     state, _ = train(cfg)
+    return np.asarray(state.params["coarse"]["pts_linears"][0]["w"])
 
-    w = np.asarray(state.params["coarse"]["pts_linears"][0]["w"])
-    assert np.all(np.isfinite(w))
-    cache = test_full_loop_mesh_invariance.__dict__.setdefault("cache", {})
-    cache[devices] = w
-    if 1 in cache and devices != 1:
-        np.testing.assert_allclose(w, cache[1], atol=2e-5)
+
+def test_full_loop_mesh_invariance(tmp_path):
+    """The REAL trainer (train/loop.py) on a 1-device vs 8-device mesh must
+    produce the same trained parameters — i.e. `python train.py` is now a
+    distributed program whose numerics don't depend on the mesh size."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    ref_w = _run_full_loop(1, str(tmp_path / "ws1"))
+    assert np.all(np.isfinite(ref_w))
+    w = _run_full_loop(8, str(tmp_path / "ws8"))
+    np.testing.assert_allclose(w, ref_w, atol=2e-5)
