@@ -91,6 +91,54 @@ def global_to_local(pts: jnp.ndarray, ids: jnp.ndarray, cfg: KiloConfig) -> jnp.
     return (pts - corner) / cell * 2.0 - 1.0
 
 
+# dispatch rank algorithm: "sort" (global argsort) or "bucketed" (two-level:
+# batched per-chunk sorts + cross-chunk count cumsum — replaces one huge 1-D
+# TPU sort, the most expensive dispatch stage, with MXU/VPU-friendly batched
+# [NB, K] sorts)
+RANK_MODE = "bucketed"
+_BUCKET = 2048
+
+
+def _rank_sort(ids: jnp.ndarray, G: int) -> jnp.ndarray:
+    """Rank of each point within its network id, via one global argsort."""
+    P = ids.shape[0]
+    order = jnp.argsort(ids)                      # sorted point indices
+    sorted_ids = ids[order]
+    start = jnp.searchsorted(sorted_ids, jnp.arange(G))  # [G] first pos of id
+    pos = jnp.arange(P) - start[sorted_ids]       # rank within group (sorted)
+    return jnp.zeros_like(pos).at[order].set(pos)  # back to original order
+
+
+def _rank_bucketed(ids: jnp.ndarray, G: int, K: int = _BUCKET) -> jnp.ndarray:
+    """Same rank (stable within each chunk; chunks processed in order —
+    identical to the stable global rank), computed as:
+      rank(i) = (# of j in earlier chunks with id_j == id_i)      [cumsum]
+              + (# of j earlier in i's chunk with id_j == id_i)   [local sort]
+    """
+    P = ids.shape[0]
+    pad = (-P) % K
+    idsp = jnp.concatenate(
+        [ids, jnp.full((pad,), G, ids.dtype)]) if pad else ids
+    NB = idsp.shape[0] // K
+    chunks = idsp.reshape(NB, K)
+
+    counts = jnp.zeros((NB, G + 1), jnp.int32).at[
+        jnp.repeat(jnp.arange(NB), K), idsp].add(1)
+    offsets = jnp.cumsum(counts, axis=0) - counts      # exclusive over chunks
+
+    order = jnp.argsort(chunks, axis=-1)               # [NB, K] batched sort
+    sorted_ids = jnp.take_along_axis(chunks, order, axis=-1)
+    # first position of id g in the sorted chunk = exclusive per-row cumsum
+    # of the per-chunk histogram (no searchsorted needed)
+    start = jnp.cumsum(counts, axis=1) - counts        # [NB, G+1]
+    pos = jnp.arange(K)[None, :] - jnp.take_along_axis(
+        start, sorted_ids, axis=-1)                    # rank within chunk
+    local = jnp.zeros_like(pos).at[
+        jnp.arange(NB)[:, None], order].set(pos)
+    rank = local + jnp.take_along_axis(offsets, chunks, axis=-1)
+    return rank.reshape(-1)[:P]
+
+
 def _dispatch(ids: jnp.ndarray, G: int, capacity: int):
     """MoE-style capacity dispatch.
 
@@ -100,11 +148,10 @@ def _dispatch(ids: jnp.ndarray, G: int, capacity: int):
     """
     P = ids.shape[0]
     # rank of each point within its network id (stable order)
-    order = jnp.argsort(ids)                      # sorted point indices
-    sorted_ids = ids[order]
-    start = jnp.searchsorted(sorted_ids, jnp.arange(G))  # [G] first pos of id
-    pos = jnp.arange(P) - start[sorted_ids]       # rank within group (sorted)
-    rank = jnp.zeros_like(pos).at[order].set(pos)  # back to original order
+    if RANK_MODE == "bucketed" and P > _BUCKET:
+        rank = _rank_bucketed(ids, G)
+    else:
+        rank = _rank_sort(ids, G)
 
     slot = jnp.where(rank < capacity, rank, -1)
 
@@ -123,31 +170,72 @@ def _dispatch(ids: jnp.ndarray, G: int, capacity: int):
     return slot, gather_idx.reshape(G, capacity), slot_valid.reshape(G, capacity)
 
 
+# Networks packed block-diagonally per matmul (see mlp_grouped). 4 gives
+# MXU-aligned shapes for hidden=32/in=63: K=252->256, N=128 — measured the
+# fix for the pathological [G,192,63]x[G,63,32] batched einsum (round-3
+# kilonerf diag: grouped mlp ~18 ms on-chip for 786k slots vs ~0.03 ms of
+# useful MXU time).
+PACK = 4
+
+
+def _pack_x(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[G, C, i] -> [G/p, C, p*i]: row c holds slot c of p networks."""
+    G, C, i = x.shape
+    return x.reshape(G // p, p, C, i).transpose(0, 2, 1, 3).reshape(
+        G // p, C, p * i)
+
+
+def _pack_layer(layer: Dict, p: int):
+    """Block-diagonal weight packing: [G,i,o] -> [G/p, p*i, p*o].
+
+    The p networks in a pack multiply disjoint column blocks, so the packed
+    matmul equals p independent tiny matmuls — at 4x the (padded-anyway)
+    FLOPs but MXU-aligned shapes (multimatmul.cu's MAGMA grouping solved
+    the same small-matmul problem with vbatched sgemm)."""
+    w, b = layer["w"], layer["b"]
+    G, i, o = w.shape
+    eye = jnp.eye(p, dtype=w.dtype)
+    wbd = jnp.einsum("gpio,pq->gpiqo", w.reshape(G // p, p, i, o), eye)
+    return wbd.reshape(G // p, p * i, p * o), b.reshape(G // p, 1, p * o)
+
+
 def mlp_grouped(params: Dict, xg: jnp.ndarray, dg: jnp.ndarray,
-                cfg: KiloConfig) -> jnp.ndarray:
+                cfg: KiloConfig, pack: int = 0) -> jnp.ndarray:
     """Batched tiny-MLP evaluation over grouped slots.
 
     xg/dg [G, C, 3] local coords and dirs per network slot -> raw [G, C, 4].
-    One einsum per layer on the MXU (the analog of MAGMA's vbatched sgemm,
-    reference multimatmul.cu:244-361).
+    Networks are packed ``pack`` at a time into block-diagonal matmuls (the
+    analog of MAGMA's vbatched sgemm grouping, multimatmul.cu:244-361) and
+    the whole MLP runs in packed layout; only the l3 feat/sigma split and
+    the viewdir concat reshape per-network blocks.
     """
-    emb_x = freq_encode(xg, cfg.xyz_freqs)   # [G, C, 63]
-    emb_d = freq_encode(dg, cfg.dir_freqs)   # [G, C, 27]
+    G = xg.shape[0]
+    p = pack or PACK
+    while p > 1 and G % p:
+        p //= 2
+
+    emb_x = _pack_x(freq_encode(xg, cfg.xyz_freqs), p)   # [G/p, C, p*63]
+    emb_d = freq_encode(dg, cfg.dir_freqs)               # [G, C, 27]
 
     def bmm(x, layer):
+        wbd, b = _pack_layer(layer, p)
         return (
-            jnp.einsum("gci,gio->gco", x, layer["w"],
-                       preferred_element_type=jnp.float32)
-            + layer["b"][:, None, :]
+            jnp.einsum("gck,gko->gco", x, wbd,
+                       preferred_element_type=jnp.float32) + b
         )
 
     h = jax.nn.relu(bmm(emb_x, params["l1"]))
     h = jax.nn.relu(bmm(h, params["l2"]))
-    out3 = bmm(h, params["l3"])              # [G, C, hidden+1]
-    feat, sigma = out3[..., :-1], out3[..., -1:]
-    h = jax.nn.relu(bmm(jnp.concatenate([feat, emb_d], -1), params["l4"]))
-    rgb = bmm(h, params["l5"])               # [G, C, 3]
-    return jnp.concatenate([rgb, sigma], -1)  # [G, C, 4]
+    out3 = bmm(h, params["l3"])              # [G/p, C, p*(hidden+1)]
+    Gp, C, _ = out3.shape
+    out3 = out3.reshape(Gp, C, p, cfg.hidden + 1)
+    feat, sigma = out3[..., :-1], out3[..., -1:]         # per-network split
+    embd4 = emb_d.reshape(Gp, p, C, -1).transpose(0, 2, 1, 3)
+    h = jnp.concatenate([feat, embd4], -1).reshape(Gp, C, -1)
+    h = jax.nn.relu(bmm(h, params["l4"]))
+    rgb = bmm(h, params["l5"]).reshape(Gp, C, p, 3)      # [G/p, C, p, 3]
+    raw = jnp.concatenate([rgb, sigma], -1)              # [G/p, C, p, 4]
+    return raw.transpose(0, 2, 1, 3).reshape(G, C, 4)
 
 
 @partial(jax.jit, static_argnames=("cfg", "capacity"))

@@ -1,0 +1,39 @@
+#!/bin/bash
+# Collect round-3 evidence into EVAL_r3/ (committed). Run after
+# scripts/post_train_r3.sh (and optionally train_scenes_r3.sh) completed.
+set -u
+cd "$(dirname "$0")/.."
+OUT=EVAL_r3
+mkdir -p $OUT
+
+RES=workspace/result/nerf/lego/nerf
+# full-protocol 200-frame eval artifacts
+cp $RES/metrics/evaluation_results.json $OUT/ 2>/dev/null ||
+  cp $RES/evaluation_results.json $OUT/ 2>/dev/null || true
+cp $RES/metrics/evaluation_summary.txt $OUT/ 2>/dev/null ||
+  cp $RES/evaluation_summary.txt $OUT/ 2>/dev/null || true
+cp $RES/images/view000_pred.png $OUT/ 2>/dev/null || true
+
+# A/B evals (10 frames each): {off, on, ns32, ns32_ni96, ns48_ni96, f32}
+for ab in off on ns32 ns32_ni96 ns48_ni96 f32; do
+  src=$(find /tmp/post_r3/res_$ab -name evaluation_results.json 2>/dev/null | head -1)
+  [ -n "$src" ] && cp "$src" $OUT/ab_$ab.json
+done
+
+# harness + diag + profile + bench logs
+for f in bench ess_ert kilo_diag profile hashgrid_smoke marched eval_full; do
+  [ -f /tmp/post_r3/$f.log ] && grep -v WARNING /tmp/post_r3/$f.log | tail -40 \
+    > $OUT/log_$f.txt
+done
+cp ess_ert_results.json $OUT/ 2>/dev/null || true
+
+# per-scene evals from the breadth run
+for log in /tmp/scenes_r3/eval_*.log; do
+  [ -f "$log" ] || continue
+  scene=$(basename "$log" .log | sed 's/eval_//')
+  src=$(find workspace/result/nerf/$scene -name evaluation_results.json 2>/dev/null | head -1)
+  [ -n "$src" ] && cp "$src" $OUT/scene_$scene.json
+done
+
+echo "collected into $OUT/:"
+ls -la $OUT/

@@ -16,6 +16,14 @@ SCENES=${SCENES:-"chair drums ficus hotdog materials mic ship"}
 mkdir -p $OUT
 
 for scene in $SCENES; do
+  # the round driver's bench.py takes the chip by touching /tmp/stop_training
+  # — the watchdog then exits WITHOUT /tmp/train_done. Never start another
+  # TPU process (eval or the next scene) in that case: a second process
+  # wedges both (CLAUDE.md).
+  if [ -f /tmp/stop_training ]; then
+    echo "=== stop_training signal; aborting scene loop" >> $OUT/progress.log
+    exit 0
+  fi
   echo "=== scene $scene start $(date +%T)" >> $OUT/progress.log
   bash scripts/restore_ckpt.sh >> $OUT/progress.log 2>&1
   WATCHDOG_LOG=$OUT/train_$scene.log \
@@ -24,7 +32,12 @@ for scene in $SCENES; do
     train.epoch $EPOCHS eval_ep 1000 save_ep 1000 save_latest_ep 10 \
     auto_restart 3" \
     bash scripts/train_watchdog.sh
-  echo "=== scene $scene train exit $(date +%T) done=$([ -f /tmp/train_done ] && echo yes || echo no)" >> $OUT/progress.log
+  if [ ! -f /tmp/train_done ]; then
+    bash scripts/snapshot_ckpt.sh nerf/$scene/nerf >> $OUT/progress.log 2>&1
+    echo "=== scene $scene interrupted (no train_done); stopping loop" >> $OUT/progress.log
+    exit 0
+  fi
+  echo "=== scene $scene train exit $(date +%T) done=yes" >> $OUT/progress.log
 
   timeout 900 python -u run.py --type evaluate --cfg_file configs/nerf/$scene.yaml \
     train_dataset.data_root $DATA test_dataset.data_root $DATA \

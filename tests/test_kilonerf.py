@@ -212,3 +212,32 @@ def test_distill_step_occupancy_weighted():
     # after only 5 Adam steps against a random teacher, strict last<first is
     # flaky — assert the optimizer made progress at all (best-seen improved)
     assert min(losses) < losses[0]
+
+
+def test_mlp_grouped_pack_equivalence():
+    """Block-diagonal packing (round-3 MXU fix) must be a pure reshuffle:
+    pack=4 equals the unpacked (pack=1) grouped evaluation exactly."""
+    from nerf_tpu.ops.kilonerf import mlp_grouped
+
+    cfg = small_cfg()
+    params = init_kilonerf(jax.random.PRNGKey(2), cfg)
+    G = n_networks(cfg)
+    rng = np.random.RandomState(5)
+    xg = jnp.asarray(rng.uniform(-1, 1, (G, 8, 3)).astype(np.float32))
+    dg = jnp.asarray(rng.randn(G, 8, 3).astype(np.float32))
+    a = np.asarray(mlp_grouped(params, xg, dg, cfg, pack=1))
+    b = np.asarray(mlp_grouped(params, xg, dg, cfg, pack=4))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_rank_bucketed_matches_sort():
+    """Two-level bucketed rank (round-3 dispatch fix) must equal the stable
+    global-argsort rank exactly, including chunk padding."""
+    from nerf_tpu.ops.kilonerf import _rank_bucketed, _rank_sort
+
+    rng = np.random.RandomState(7)
+    G = 37
+    ids = jnp.asarray(rng.randint(0, G, (1000,)), jnp.int32)
+    a = np.asarray(_rank_sort(ids, G))
+    b = np.asarray(_rank_bucketed(ids, G, K=128))
+    np.testing.assert_array_equal(a, b)
