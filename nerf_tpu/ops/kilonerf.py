@@ -265,14 +265,15 @@ def kilonerf_eval(
     dg = dirs[gather_idx.reshape(-1)].reshape(G, capacity, 3)
 
     raw_slots = mlp_grouped(params, xg, dg, cfg)   # [G, C, 4]
-    raw_slots = jnp.where(slot_valid[..., None], raw_slots, 0.0)
 
-    # scatter back to point order (reference scatter_int32_float4); empty
-    # slots target an out-of-bounds index so they can't clobber point 0
-    out = jnp.zeros((P, 4), raw_slots.dtype)
-    flat_idx = jnp.where(slot_valid.reshape(-1), gather_idx.reshape(-1), P)
-    out = out.at[flat_idx].set(raw_slots.reshape(-1, 4), mode="drop")
-    # dropped points (slot == -1) stay zero: sigma_raw 0 -> alpha 0
+    # back to point order via the INVERSE gather out[i] = raw[ids_i, slot_i]
+    # (round-3 diag: the scatter formulation — reference
+    # scatter_int32_float4 — measured 36 ms for 393k 4-wide rows on the
+    # v5e; TPU random-row scatters are scalar-bound, the gather is cheaper
+    # and each point's slot is unique by construction)
+    inv = ids * capacity + jnp.clip(slot, 0, capacity - 1)
+    out = raw_slots.reshape(-1, 4)[inv]
+    # dropped points (slot == -1) are empty space: sigma_raw 0 -> alpha 0
     return jnp.where((slot >= 0)[:, None], out, 0.0)
 
 

@@ -34,8 +34,16 @@ for scene in $SCENES; do
     bash scripts/train_watchdog.sh
   if [ ! -f /tmp/train_done ]; then
     bash scripts/snapshot_ckpt.sh nerf/$scene/nerf >> $OUT/progress.log 2>&1
-    echo "=== scene $scene interrupted (no train_done); stopping loop" >> $OUT/progress.log
-    exit 0
+    # the driver's bench took the chip (stop signal / watchdog yielded):
+    # never start more TPU work. Any other failure (restart cap, crash):
+    # log it and move on to the next scene.
+    if [ -f /tmp/stop_training ] || \
+       tail -1 /tmp/watchdog.log 2>/dev/null | grep -q "stop_training"; then
+      echo "=== scene $scene: chip yielded to bench; stopping loop" >> $OUT/progress.log
+      exit 0
+    fi
+    echo "=== scene $scene train FAILED (no train_done); skipping eval" >> $OUT/progress.log
+    continue
   fi
   echo "=== scene $scene train exit $(date +%T) done=yes" >> $OUT/progress.log
 
