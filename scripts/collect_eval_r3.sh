@@ -14,14 +14,11 @@ cp $RES/metrics/evaluation_summary.txt $OUT/ 2>/dev/null ||
   cp $RES/evaluation_summary.txt $OUT/ 2>/dev/null || true
 cp $RES/images/view000_pred.png $OUT/ 2>/dev/null || true
 
-# A/B evals (10 frames each): {off, on, ns32, ns32_ni96, ns48_ni96, f32}
-for ab in off on ns32 ns32_ni96 ns48_ni96 f32; do
-  src=$(find /tmp/post_r3/res_$ab -name evaluation_results.json 2>/dev/null | head -1)
-  [ -n "$src" ] && cp "$src" $OUT/ab_$ab.json
-done
+# A/B ablation table (single-process runner, scripts/ab_eval_r3.py)
+cp /tmp/post_r3/ab_results.json $OUT/ 2>/dev/null || true
 
 # harness + diag + profile + bench logs
-for f in bench ess_ert kilo_diag profile hashgrid_smoke marched eval_full; do
+for f in bench ess_ert kilo_diag kilo_diag2 profile hashgrid_smoke hashgrid_150 distill marched eval_full ab_runner; do
   [ -f /tmp/post_r3/$f.log ] && grep -v WARNING /tmp/post_r3/$f.log | tail -40 \
     > $OUT/log_$f.txt
 done
