@@ -22,7 +22,6 @@ for f in bench ess_ert kilo_diag kilo_diag2 profile hashgrid_smoke hashgrid_150 
   [ -f /tmp/post_r3/$f.log ] && grep -v WARNING /tmp/post_r3/$f.log | tail -40 \
     > $OUT/log_$f.txt
 done
-cp ess_ert_results.json $OUT/ 2>/dev/null || true
 
 # per-scene evals from the breadth run
 for log in /tmp/scenes_r3/eval_*.log; do
