@@ -200,10 +200,15 @@ def _pack_layer(layer: Dict, p: int):
 
 
 def mlp_grouped(params: Dict, xg: jnp.ndarray, dg: jnp.ndarray,
-                cfg: KiloConfig, pack: int = 0) -> jnp.ndarray:
+                cfg: KiloConfig, pack: int = 0,
+                encoded: bool = False) -> jnp.ndarray:
     """Batched tiny-MLP evaluation over grouped slots.
 
-    xg/dg [G, C, 3] local coords and dirs per network slot -> raw [G, C, 4].
+    xg/dg [G, C, 3] local coords and dirs per network slot -> raw [G, C, 4]
+    (with ``encoded=True`` they are the pre-computed frequency embeddings
+    [G, C, 63]/[G, C, 27] instead — kilonerf_eval encodes BEFORE the slot
+    gather so the gather moves 90-wide rows and the sin/cos run on P real
+    points, not 2P padded slots).
     Networks are packed ``pack`` at a time into block-diagonal matmuls (the
     analog of MAGMA's vbatched sgemm grouping, multimatmul.cu:244-361) and
     the whole MLP runs in packed layout; only the l3 feat/sigma split and
@@ -214,8 +219,9 @@ def mlp_grouped(params: Dict, xg: jnp.ndarray, dg: jnp.ndarray,
     while p > 1 and G % p:
         p //= 2
 
-    emb_x = _pack_x(freq_encode(xg, cfg.xyz_freqs), p)   # [G/p, C, p*63]
-    emb_d = freq_encode(dg, cfg.dir_freqs)               # [G, C, 27]
+    emb_x = xg if encoded else freq_encode(xg, cfg.xyz_freqs)
+    emb_d = dg if encoded else freq_encode(dg, cfg.dir_freqs)  # [G, C, 27]
+    emb_x = _pack_x(emb_x, p)                            # [G/p, C, p*63]
 
     def bmm(x, layer):
         wbd, b = _pack_layer(layer, p)
@@ -260,11 +266,20 @@ def kilonerf_eval(
     local = global_to_local(pts, ids, cfg)
     slot, gather_idx, slot_valid = _dispatch(ids, G, capacity)
 
-    # gather into [G, C, ...]
-    xg = local[gather_idx.reshape(-1)].reshape(G, capacity, 3)
-    dg = dirs[gather_idx.reshape(-1)].reshape(G, capacity, 3)
+    # Encode BEFORE the slot gather (round-3 diag): a [P,3] row gather
+    # uses 3 of 128 lanes and measured 24 ms for 786k slots; gathering the
+    # concatenated 90-wide embeddings moves the same points at ~30x the
+    # lane utilization, and the sin/cos run on P points instead of the
+    # 2x-padded slot buffer.
+    nx = freq_out_dim(3, cfg.xyz_freqs)
+    emb = jnp.concatenate([
+        freq_encode(local, cfg.xyz_freqs),
+        freq_encode(dirs, cfg.dir_freqs),
+    ], axis=-1)                                     # [P, 63+27]
+    embg = emb[gather_idx.reshape(-1)].reshape(G, capacity, emb.shape[-1])
 
-    raw_slots = mlp_grouped(params, xg, dg, cfg)   # [G, C, 4]
+    raw_slots = mlp_grouped(params, embg[..., :nx], embg[..., nx:], cfg,
+                            encoded=True)           # [G, C, 4]
 
     # back to point order via the INVERSE gather out[i] = raw[ids_i, slot_i]
     # (round-3 diag: the scatter formulation — reference

@@ -248,3 +248,15 @@ def test_sample_pdf_u_override_edges():
     # differs only where denom==1 fallbacks engage, compare there loosely
     np.testing.assert_allclose(got[1:], want[1:], atol=1e-4)
     np.testing.assert_allclose(got[0, :2], want[0, :2], atol=1e-4)
+
+
+def test_sample_pdf_lowers_branchless():
+    """Guard: sample_pdf must not reintroduce searchsorted / sort — they
+    lower to serial while-loops on TPU (round-3 profiler: 52 ms of a 153 ms
+    eval tile). The branchless form contains neither."""
+    jaxpr = str(jax.make_jaxpr(
+        lambda b, w: sample_pdf(jax.random.PRNGKey(0), b, w, 16,
+                                deterministic=True)
+    )(jnp.zeros((4, 15)), jnp.zeros((4, 14))))
+    assert "while" not in jaxpr, "serial loop reintroduced in sample_pdf"
+    assert "sort" not in jaxpr, "sort reintroduced in sample_pdf"
