@@ -96,14 +96,16 @@ def get_encoder(enc_cfg, key=None):
         F = int(enc_cfg.get("n_features", 2))
         base = int(enc_cfg.get("base_resolution", 16))
         scale = float(enc_cfg.get("per_level_scale", 1.3819))
+        layout = str(enc_cfg.get("layout", "corner"))
         params = init_hashgrid(
             key if key is not None else __import__("jax").random.PRNGKey(0),
             n_levels=L, n_features=F,
             log2_table_size=int(enc_cfg.get("log2_hashmap_size", 19)),
-            base_resolution=base, per_level_scale=scale,
+            base_resolution=base, per_level_scale=scale, layout=layout,
         )
         fn = lambda p, x: hashgrid_encode(p, x, base_resolution=base,
-                                          per_level_scale=scale)
+                                          per_level_scale=scale,
+                                          layout=layout)
         return params, fn, hashgrid_out_dim(L, F)
     if etype in ("triplane", "cuda_triplane"):
         from .triplane import init_triplane, triplane_encode, triplane_out_dim

@@ -51,11 +51,31 @@ def init_hashgrid(
     per_level_scale: float = 1.3819,
     init_scale: float = 1e-4,
     dtype=jnp.bfloat16,
+    layout: str = "corner",
+    input_dim: int = 3,
 ) -> Dict:
-    """Returns {table: [L, T, F], meta...}; table init U(-1e-4, 1e-4)."""
+    """Returns {table}; table init U(-1e-4, 1e-4).
+
+    layout:
+      - "corner" (reference parity): table [L, T, F]; each of the 2^D
+        trilinear corners is hashed and gathered separately (8 narrow row
+        gathers per point-level — the instant-NGP formulation,
+        hashencoder.cu:78-140).
+      - "cellpack" (TPU-native): table [L, T/2^D, 2^D*F]; ONE row per
+        (point, level) holds all 2^D corner features of the point's CELL.
+        8x fewer gathered rows at identical memory/elements — built for
+        TPU gathers, whose cost scales with row count, not row width.
+        Divergence from instant-NGP: adjacent cells no longer share corner
+        entries (the same tradeoff a hash collision already makes); the
+        interpolation is still trilinear and C0 within each cell.
+    """
     T = 1 << log2_table_size
+    if layout == "cellpack":
+        shape = (n_levels, T >> input_dim, (1 << input_dim) * n_features)
+    else:
+        shape = (n_levels, T, n_features)
     table = jax.random.uniform(
-        key, (n_levels, T, n_features), jnp.float32, -init_scale, init_scale
+        key, shape, jnp.float32, -init_scale, init_scale
     ).astype(dtype)
     # only the trainable table lives in the param pytree; level geometry is
     # derived statically from the config (level_resolutions) so optimizers
@@ -87,6 +107,27 @@ def _corner_index(corner: jnp.ndarray, res: jnp.ndarray, table_size: int) -> jnp
     return jnp.where(dense, direct_idx % table_size, hash_idx)
 
 
+def _cell_index(cell: jnp.ndarray, res: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """cell: [..., D] int32 base-cell coords in [0, res); one row per CELL.
+
+    Direct indexing when the res^D dense cell grid fits in n_rows, else the
+    instant-NGP XOR hash (cellpack layout).
+    """
+    D = cell.shape[-1]
+    dense = res ** D <= n_rows
+    direct_idx = cell[..., 0]
+    mult = res
+    for d in range(1, D):
+        direct_idx = direct_idx + cell[..., d] * mult
+        mult = mult * res
+    cu = cell.astype(jnp.uint32)
+    h = cu[..., 0] * jnp.uint32(_PRIMES[0])
+    for d in range(1, D):
+        h = h ^ (cu[..., d] * jnp.uint32(_PRIMES[d]))
+    hash_idx = (h % jnp.uint32(n_rows)).astype(jnp.int32)
+    return jnp.where(dense, direct_idx % n_rows, hash_idx)
+
+
 def hashgrid_encode(
     params: Dict,
     pts: jnp.ndarray,
@@ -95,19 +136,23 @@ def hashgrid_encode(
     bbox_max: float = 2.0,
     base_resolution: int = 16,
     per_level_scale: float = 1.3819,
+    layout: str = "corner",
 ) -> jnp.ndarray:
     """pts: [N, 3] -> features [N, L*F] via trilinear interpolation.
 
     ``resolutions``: [L] per-level grid sizes; derived from
     (base_resolution, per_level_scale) when not given.
+    ``layout``: must match the ``init_hashgrid`` layout ("corner" gathers
+    2^D rows per point-level; "cellpack" gathers one wide row — see
+    init_hashgrid).
     """
-    table = params["table"]  # [L, T, F]
-    L, T, F = table.shape
+    import itertools
+
+    table = params["table"]
+    L = table.shape[0]
     if resolutions is None:
         resolutions = level_resolutions(L, base_resolution, per_level_scale)
     res = jnp.asarray(resolutions)  # [L]
-
-    import itertools
 
     D = pts.shape[-1]
     x = (pts - bbox_min) / (bbox_max - bbox_min)
@@ -121,18 +166,30 @@ def hashgrid_encode(
 
     # 2^D corners: offsets [2^D, D]
     offs = jnp.asarray(list(itertools.product((0, 1), repeat=D)), jnp.int32)
-    corners = x0[:, :, None, :] + offs[None, None]  # [L, N, 2^D, D]
 
-    idx = jax.vmap(lambda c, r: _corner_index(c, r, T))(corners, res)  # [L, N, 2^D]
-    # one flat row gather over all (level, point, corner) triples — TPU
-    # gathers are scalar-latency bound, so never gather feature elements
-    # separately (take_along_axis with a size-1 trailing index dim does)
-    flat_idx = (
-        idx + (jnp.arange(L, dtype=idx.dtype) * T)[:, None, None]
-    ).reshape(-1)
-    feats = table.reshape(L * T, F)[flat_idx].reshape(
-        L, *idx.shape[1:], F
-    )  # [L, N, 2^D, F]
+    if layout == "cellpack":
+        _, Tc, row_w = table.shape
+        F = row_w >> D
+        idx = jax.vmap(lambda c, r: _cell_index(c, r, Tc))(x0, res)  # [L, N]
+        flat_idx = (
+            idx + (jnp.arange(L, dtype=idx.dtype) * Tc)[:, None]
+        ).reshape(-1)
+        feats = table.reshape(L * Tc, row_w)[flat_idx].reshape(
+            L, x.shape[0], 1 << D, F
+        )  # [L, N, 2^D, F] — ONE gathered row per (point, level)
+    else:
+        _, T, F = table.shape
+        corners = x0[:, :, None, :] + offs[None, None]  # [L, N, 2^D, D]
+        idx = jax.vmap(lambda c, r: _corner_index(c, r, T))(corners, res)
+        # one flat row gather over all (level, point, corner) triples — TPU
+        # gathers are scalar-latency bound, so never gather feature elements
+        # separately (take_along_axis with a size-1 trailing index dim does)
+        flat_idx = (
+            idx + (jnp.arange(L, dtype=idx.dtype) * T)[:, None, None]
+        ).reshape(-1)
+        feats = table.reshape(L * T, F)[flat_idx].reshape(
+            L, *idx.shape[1:], F
+        )  # [L, N, 2^D, F]
 
     # trilinear weights per corner (interpolate in f32 whatever the table)
     w = jnp.where(offs[None, None] == 1, frac[:, :, None, :],

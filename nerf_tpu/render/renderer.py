@@ -80,6 +80,10 @@ class RenderOptions:
     # table dtype: bf16 halves the gather time (TPU gathers are scalar-
     # latency bound; see models/hashgrid.py) and matches tcnn's fp16 tables
     hash_dtype: str = "bfloat16"
+    # table layout: "corner" (instant-NGP parity, 8 narrow gathers per
+    # point-level) or "cellpack" (TPU-native: one wide row per point-level
+    # carrying all 8 corner features — see models/hashgrid.init_hashgrid)
+    hash_layout: str = "corner"
     # density activation: "relu" (reference parity) or "softplus" (required
     # for hash-encoder models — see composite.density_activation)
     sigma_activation: str = "relu"
@@ -124,6 +128,7 @@ class RenderOptions:
                 hash_base_res=int(xyz_enc.get("base_resolution", 16)),
                 hash_scale=float(xyz_enc.get("per_level_scale", 1.3819)),
                 hash_dtype=str(xyz_enc.get("dtype", "bfloat16")),
+                hash_layout=str(xyz_enc.get("layout", "corner")),
             )
         kilo = cfg.get("kilo", {})
         return cls(
@@ -179,6 +184,7 @@ def query_network_xla(
             base_resolution=opts.hash_base_res,
             per_level_scale=opts.hash_scale,
             bbox_min=-2.0, bbox_max=2.0,
+            layout=opts.hash_layout,
         )
     else:
         emb = freq_encode(pts.reshape(-1, 3), opts.xyz_freqs)

@@ -59,6 +59,7 @@ def init_nerf_params(key, opts: RenderOptions):
             base_resolution=opts.hash_base_res,
             per_level_scale=opts.hash_scale,
             dtype=jnp.dtype(opts.hash_dtype),
+            layout=opts.hash_layout,
         )
         params["coarse"]["xyz_encoder"] = init_hashgrid(kc2, **hash_kwargs)
         params["fine"]["xyz_encoder"] = init_hashgrid(kf2, **hash_kwargs)
@@ -98,6 +99,7 @@ def make_density_fn(params, opts: RenderOptions):
                 base_resolution=opts.hash_base_res,
                 per_level_scale=opts.hash_scale,
                 bbox_min=-2.0, bbox_max=2.0,
+                layout=opts.hash_layout,
             )
         else:
             emb = freq_encode(pts, opts.xyz_freqs)

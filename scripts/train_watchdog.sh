@@ -55,7 +55,9 @@ while [ $restarts -lt 6 ]; do
     continue
   fi
   age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
-  if [ "$age" -gt 300 ]; then
+  # WATCHDOG_STALE: raise when the relay compile service is degraded
+  # (observed >15 min compiles; a mid-compile kill just recompiles)
+  if [ "$age" -gt "${WATCHDOG_STALE:-300}" ]; then
     echo "$(date) log stale ${age}s; killing group $PG" >> /tmp/watchdog.log
     kill_group
     launch
