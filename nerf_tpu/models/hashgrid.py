@@ -12,13 +12,18 @@ Parity targets in the reference:
 TPU-native: the table is one [L, T, F] array; lookups are XLA gathers and
 gradients scatter-add into the table automatically.
 
-Performance note (measured on v5e): XLA lowers TPU gathers to ~13M
-*scalars*/s fp32 (~26M bf16) regardless of row width, table size, or index
-locality — the hash lookup is gather-latency bound, not FLOP or bandwidth
-bound. Hence: (a) the table defaults to bfloat16 (tcnn keeps fp16 tables,
-hashencoder/hashgrid.py:15-118 casts to half — parity), (b) all levels are
-fetched in ONE flat row gather, (c) pair hashgrid configs with fine-pass
-ESS compaction (RenderOptions.ess_compaction) to cut queried points.
+Performance note (measured on v5e, scripts/gather_microbench.py —
+docs/PERF.md "Gather cost model"): TPU row-gather cost is dominated by a
+per-ROW charge that grows only sub-linearly with row width (116 Melem/s at
+width 1 -> 1,657 Melem/s at width 128), so the lookup is gather-latency
+bound and WIDE rows amortize. Hence: (a) all levels are fetched in ONE
+flat row gather, (b) the ``cellpack`` layout packs a cell's 8 corner
+features into one wide row (8x fewer rows, 4.9x measured forward; the
+backward's wide-row scatter-add is likewise ~5.7x faster than the
+corner layout's narrow scatters), (c) the table defaults to
+bfloat16 (tcnn keeps fp16 tables, hashencoder/hashgrid.py:15-118 casts to
+half — parity), (d) pair hashgrid configs with fine-pass ESS compaction
+(RenderOptions.ess_compaction) to cut queried points.
 """
 from __future__ import annotations
 
@@ -128,6 +133,43 @@ def _cell_index(cell: jnp.ndarray, res: jnp.ndarray, n_rows: int) -> jnp.ndarray
     return jnp.where(dense, direct_idx % n_rows, hash_idx)
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows_narrow_bwd(table2d: jnp.ndarray, flat_idx: jnp.ndarray,
+                            sub: int) -> jnp.ndarray:
+    """Row gather whose BACKWARD scatter-adds in ``sub`` narrow pieces.
+
+    NEGATIVE RESULT, kept for documentation + the gradient-parity test:
+    the hypothesis was that wide-row scatter-add lowers badly on TPU, but
+    the measurement says the opposite (scripts/scatter_microbench.py:
+    wide-row scatter 260 ms vs 1,486 ms for this narrow-split of the same
+    update volume — scatter cost is per-ROW, like gathers). The cellpack
+    encode therefore uses the PLAIN gather, whose autodiff transpose is
+    the fast wide-row scatter. Do not use this in hot paths.
+    """
+    return table2d[flat_idx]
+
+
+def _gather_rows_fwd(table2d, flat_idx, sub):
+    return table2d[flat_idx], (table2d.shape, flat_idx)
+
+
+def _gather_rows_bwd(sub, res, ct):
+    (n_rows, W), flat_idx = res
+    f = W // sub
+    idx_sub = (flat_idx[:, None] * sub
+               + jnp.arange(sub, dtype=flat_idx.dtype)[None]).reshape(-1)
+    grad = jnp.zeros((n_rows * sub, f), ct.dtype).at[idx_sub].add(
+        ct.reshape(-1, f))
+    return (grad.reshape(n_rows, W),
+            np.zeros(flat_idx.shape, jax.dtypes.float0))
+
+
+_gather_rows_narrow_bwd.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def hashgrid_encode(
     params: Dict,
     pts: jnp.ndarray,
@@ -174,6 +216,12 @@ def hashgrid_encode(
         flat_idx = (
             idx + (jnp.arange(L, dtype=idx.dtype) * Tc)[:, None]
         ).reshape(-1)
+        # plain gather: its autodiff transpose is a WIDE-row scatter-add,
+        # which is the FAST case (scripts/scatter_microbench.py: 3.1M
+        # 16-wide rows scatter in 260 ms vs 1,488 ms for the same elements
+        # as 25.2M narrow rows — scatter cost is per-row too). The
+        # narrow-split custom VJP (_gather_rows_narrow_bwd) measured 5.7x
+        # WORSE and is kept only as a documented negative result.
         feats = table.reshape(L * Tc, row_w)[flat_idx].reshape(
             L, x.shape[0], 1 << D, F
         )  # [L, N, 2^D, F] — ONE gathered row per (point, level)

@@ -59,6 +59,30 @@ def main():
         print(f"{name}: fwd {dt_f*1e3:8.1f} ms ({R/dt_f/1e6:8.1f} Mrows/s)"
               f"   bwd {dt_b*1e3:8.1f} ms ({R/dt_b/1e6:8.1f} Mrows/s)")
 
+    # the fix candidate: wide-row gather fwd + narrow-split scatter bwd
+    from nerf_tpu.models.hashgrid import _gather_rows_narrow_bwd
+
+    tshape, R, dtype = (L * (1 << 16), 8 * F), L * P, jnp.bfloat16
+    table = jax.random.normal(key, tshape, dtype)
+    idxs = [jax.random.randint(jax.random.fold_in(key, 50 + i), (R,), 0,
+                               tshape[0], jnp.int32)
+            for i in range(iters + 1)]
+    cts = [jax.random.normal(jax.random.fold_in(key, 150 + i),
+                             (R, tshape[1]), dtype)
+           for i in range(iters + 1)]
+    bwd2 = jax.jit(
+        lambda tab, ix, c: jax.vjp(
+            lambda t: _gather_rows_narrow_bwd(t, ix, 8), tab)[1](c)[0]
+        .sum(dtype=jnp.float32))
+    np.asarray(bwd2(table, idxs[-1], cts[-1]))
+    t0 = time.time()
+    for i in range(iters):
+        out = bwd2(table, idxs[i], cts[i])
+    np.asarray(out)
+    dt = (time.time() - t0) / iters
+    print(f"cellpack narrow-split bwd: {dt*1e3:8.1f} ms "
+          f"({R/dt/1e6:8.1f} Mrows/s)")
+
 
 if __name__ == "__main__":
     main()

@@ -204,3 +204,24 @@ def test_cellpack_render_smoke():
     out = render_rays(params, rays_o, rays_d, jax.random.PRNGKey(1), opts,
                       train=False)
     assert np.isfinite(np.asarray(out["rgb_map"])).all()
+
+
+def test_cellpack_custom_vjp_matches_plain_gather_grad():
+    """The narrow-split backward must equal the plain gather's autodiff
+    gradient exactly (same adds, different scatter shape)."""
+    from nerf_tpu.models.hashgrid import _gather_rows_narrow_bwd
+
+    rng = np.random.RandomState(7)
+    table = jnp.asarray(rng.randn(32, 16), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 32, (100,)), jnp.int32)
+    ct = jnp.asarray(rng.randn(100, 16), jnp.float32)
+
+    def loss_custom(t):
+        return jnp.sum(_gather_rows_narrow_bwd(t, idx, 8) * ct)
+
+    def loss_plain(t):
+        return jnp.sum(t[idx] * ct)
+
+    g1 = jax.grad(loss_custom)(table)
+    g2 = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
