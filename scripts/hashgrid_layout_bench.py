@@ -83,5 +83,47 @@ def main():
         print(f"cellpack speedup: {results['cellpack']/results['corner']:.2f}x")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--fwd" not in sys.argv:
     main()
+
+
+def fwd_only():
+    """Eval-path A/B: render_rays forward (no grad) for both layouts."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.config import load_cfg
+    from nerf_tpu.render.renderer import RenderOptions, render_rays
+    from nerf_tpu.train.loop import init_nerf_params
+
+    print("backend:", jax.default_backend())
+    cfg = load_cfg("configs/nerf/lego_hashgrid.yaml")
+    n = 1024  # matches the hashgrid render tile (render_tile_rays)
+    theta = jnp.linspace(0, 1, n)
+    rays_o = jnp.zeros((n, 3))
+    rays_d = jnp.stack(
+        [0.4 * theta - 0.2, 0.2 - 0.4 * theta, -jnp.ones_like(theta)], -1)
+
+    for layout in ("corner", "cellpack"):
+        opts = dataclasses.replace(RenderOptions.from_cfg(cfg),
+                                   hash_layout=layout, tile_rays=n)
+        params = init_nerf_params(jax.random.PRNGKey(0), opts)
+        fwd = jax.jit(lambda p, k, o=opts: render_rays(
+            p, rays_o, rays_d, k, o, train=False)["rgb_map"])
+        t0 = time.time()
+        np.asarray(fwd(params, jax.random.PRNGKey(99)))
+        t_compile = time.time() - t0
+        iters = 6
+        t0 = time.time()
+        for i in range(iters):
+            out = fwd(params, jax.random.PRNGKey(i))
+        np.asarray(out)
+        dt = (time.time() - t0) / iters
+        print(f"{layout:9s} eval: {dt*1e3:8.1f} ms/tile  "
+              f"{n/dt:10,.0f} fwd rays/s  (compile {t_compile:.1f}s)")
+
+
+if __name__ == "__main__" and "--fwd" in sys.argv:
+    fwd_only()
+    sys.exit(0)
