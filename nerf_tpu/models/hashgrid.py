@@ -20,7 +20,9 @@ bound and WIDE rows amortize. Hence: (a) all levels are fetched in ONE
 flat row gather, (b) the ``cellpack`` layout packs a cell's 8 corner
 features into one wide row (8x fewer rows, 4.9x measured forward; the
 backward's wide-row scatter-add is likewise ~5.7x faster than the
-corner layout's narrow scatters), (c) the table defaults to
+corner layout's narrow scatters — but the END-TO-END cellpack train step
+currently measures ~6.6x SLOWER than corner, an open XLA lowering issue;
+see docs/PERF.md "open contradiction"), (c) the table defaults to
 bfloat16 (tcnn keeps fp16 tables, hashencoder/hashgrid.py:15-118 casts to
 half — parity), (d) pair hashgrid configs with fine-pass ESS compaction
 (RenderOptions.ess_compaction) to cut queried points.
@@ -71,8 +73,14 @@ def init_hashgrid(
         8x fewer gathered rows at identical memory/elements — built for
         TPU gathers, whose cost scales with row count, not row width.
         Divergence from instant-NGP: adjacent cells no longer share corner
-        entries (the same tradeoff a hash collision already makes); the
-        interpolation is still trilinear and C0 within each cell.
+        entries, so the encoding is DISCONTINUOUS across every cell face at
+        every level (instant-NGP hash collisions alias entries but keep the
+        interpolated field continuous — both sides of a face read the same
+        rows). Trilinear and C0 within each cell only; grid-seam artifacts
+        are a real risk, and quality vs corner is unmeasured — any default
+        flip is gated on that A/B. NOTE also that end-to-end cellpack
+        TRAINING is currently ~6.6x slower than corner despite the 4.9x/5.7x
+        microbench wins (open XLA lowering issue, docs/PERF.md).
     """
     T = 1 << log2_table_size
     if layout == "cellpack":
@@ -88,14 +96,15 @@ def init_hashgrid(
     return {"table": table}
 
 
-def _corner_index(corner: jnp.ndarray, res: jnp.ndarray, table_size: int) -> jnp.ndarray:
+def _corner_index(corner: jnp.ndarray, res: jnp.ndarray, table_size: int,
+                  dense: jnp.ndarray) -> jnp.ndarray:
     """corner: [..., D] int32 grid coords (D in 2..4); res: level resolution.
 
-    Direct indexing when the dense level grid fits in the table, else the
-    instant-NGP XOR hash (hashencoder.cu:36-76 behavior).
+    Direct indexing when the dense level grid fits in the table (``dense``,
+    computed host-side in int64 — int32 (res+1)**D overflows for fine
+    levels), else the instant-NGP XOR hash (hashencoder.cu:36-76 behavior).
     """
     D = corner.shape[-1]
-    dense = (res + 1) ** D <= table_size
     # direct: sum_d corner_d * (res+1)^d
     stride = res + 1
     direct_idx = corner[..., 0]
@@ -112,14 +121,15 @@ def _corner_index(corner: jnp.ndarray, res: jnp.ndarray, table_size: int) -> jnp
     return jnp.where(dense, direct_idx % table_size, hash_idx)
 
 
-def _cell_index(cell: jnp.ndarray, res: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+def _cell_index(cell: jnp.ndarray, res: jnp.ndarray, n_rows: int,
+                dense: jnp.ndarray) -> jnp.ndarray:
     """cell: [..., D] int32 base-cell coords in [0, res); one row per CELL.
 
-    Direct indexing when the res^D dense cell grid fits in n_rows, else the
-    instant-NGP XOR hash (cellpack layout).
+    Direct indexing when the res^D dense cell grid fits in n_rows (``dense``
+    computed host-side in int64 to dodge int32 overflow at fine levels),
+    else the instant-NGP XOR hash (cellpack layout).
     """
     D = cell.shape[-1]
-    dense = res ** D <= n_rows
     direct_idx = cell[..., 0]
     mult = res
     for d in range(1, D):
@@ -194,6 +204,7 @@ def hashgrid_encode(
     L = table.shape[0]
     if resolutions is None:
         resolutions = level_resolutions(L, base_resolution, per_level_scale)
+    res_np = np.asarray(resolutions).astype(np.int64)  # static per level
     res = jnp.asarray(resolutions)  # [L]
 
     D = pts.shape[-1]
@@ -212,7 +223,9 @@ def hashgrid_encode(
     if layout == "cellpack":
         _, Tc, row_w = table.shape
         F = row_w >> D
-        idx = jax.vmap(lambda c, r: _cell_index(c, r, Tc))(x0, res)  # [L, N]
+        dense_lv = jnp.asarray(res_np**D <= Tc)  # [L] bool, int64 host-side
+        idx = jax.vmap(lambda c, r, d: _cell_index(c, r, Tc, d))(
+            x0, res, dense_lv)  # [L, N]
         flat_idx = (
             idx + (jnp.arange(L, dtype=idx.dtype) * Tc)[:, None]
         ).reshape(-1)
@@ -228,7 +241,9 @@ def hashgrid_encode(
     else:
         _, T, F = table.shape
         corners = x0[:, :, None, :] + offs[None, None]  # [L, N, 2^D, D]
-        idx = jax.vmap(lambda c, r: _corner_index(c, r, T))(corners, res)
+        dense_lv = jnp.asarray((res_np + 1) ** D <= T)  # [L] bool, int64
+        idx = jax.vmap(lambda c, r, d: _corner_index(c, r, T, d))(
+            corners, res, dense_lv)
         # one flat row gather over all (level, point, corner) triples — TPU
         # gathers are scalar-latency bound, so never gather feature elements
         # separately (take_along_axis with a size-1 trailing index dim does)

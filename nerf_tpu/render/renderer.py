@@ -94,9 +94,11 @@ class RenderOptions:
     tile_rays: int = 8192
     use_pallas: bool = True
     # use the Pallas integration kernel (ops/integrate.py) for compositing
-    # on TPU eval paths (forward-only: the kernel has no VJP; training and
-    # noisy compositing keep the XLA composite)
-    use_pallas_integrate: bool = False
+    # on TPU (+9% end-to-end, measured; legal in training too — its custom
+    # VJP recomputes the XLA composite backward, grad-parity tested in
+    # tests/test_integrate_kernel.py). Default ON: best-known config.
+    # Runtime-gated to TPU backends / noise-free compositing below.
+    use_pallas_integrate: bool = True
     # Detach coarse weights from the fine-sampling CDF (original-NeRF
     # semantics). The reference does NOT detach (volume_renderer.py:239-268)
     # which lets the fine loss push the coarse model into a degenerate
@@ -159,7 +161,7 @@ class RenderOptions:
             compute_dtype=str(cfg.network.get("dtype", "bfloat16")),
             tile_rays=int(cfg.get("render_tile_rays", 8192)),
             use_pallas=bool(cfg.get("use_pallas_kernels", True)),
-            use_pallas_integrate=bool(cfg.get("use_pallas_integrate", False)),
+            use_pallas_integrate=bool(cfg.get("use_pallas_integrate", True)),
         )
 
 

@@ -6,8 +6,12 @@ Parity targets:
 - ``_sample_fine``    (reference volume_renderer.py:239-268): pdf from
   weights[...,1:-1] + 1e-5, cdf with leading zero, searchsorted(right),
   deterministic linspace u at eval / uniform u at train, denom<1e-5 -> 1.
-  NOTE: like the reference (and unlike the original NeRF), the weights are
-  NOT detached — gradient flows through the CDF.
+  NOTE on detaching: the reference does NOT detach the coarse weights from
+  the fine-sampling CDF (unlike the original NeRF). ``sample_pdf`` itself
+  is detach-agnostic — the caller decides: the shipped default is
+  ``RenderOptions.detach_fine_sampling=True`` (the non-detached CDF
+  collapses the coarse model in training — see renderer.py); parity tests
+  opt out to match the reference exactly.
 """
 from __future__ import annotations
 

@@ -256,6 +256,8 @@ def train(cfg, max_epochs: Optional[int] = None):
                 state, stats = train_steps(
                     state, images_u8, poses, intrinsics, k_train, tx, opts,
                     n_rays, n, grid=grid, mesh=mesh,
+                    precrop_iters=int(cfg.task_arg.get("precrop_iters", 0)),
+                    precrop_frac=float(cfg.task_arg.get("precrop_frac", 0.5)),
                 )
             done += n
             host_stats = {k2: float(v) for k2, v in stats.items()}

@@ -69,12 +69,38 @@ def sample_ray_batch(
     poses: jnp.ndarray,  # [N, 4, 4]
     intrinsics: jnp.ndarray,  # [3, 3]
     n_rays: int,
+    step: Optional[jnp.ndarray] = None,
+    precrop_iters: int = 0,
+    precrop_frac: float = 0.5,
 ):
-    """Uniformly sample n_rays (image, pixel) pairs and build rays + targets."""
+    """Uniformly sample n_rays (image, pixel) pairs and build rays + targets.
+
+    Precrop warmup (the original-NeRF trick the reference declares but never
+    wires up — lego.yaml:26-27, unused per SURVEY §7.3): while
+    ``step < precrop_iters``, pixels are drawn from the central
+    ``precrop_frac`` crop only, so early optimization sees the object rather
+    than mostly white background. Traced as a ``jnp.where`` on the pixel
+    coordinates — legal inside the scanned train step.
+    """
     n_img, H, W, _ = images_u8.shape
     k_img, k_pix = jax.random.split(key)
     img_idx = jax.random.randint(k_img, (n_rays,), 0, n_img)
-    pix_idx = jax.random.randint(k_pix, (n_rays,), 0, H * W)
+    if precrop_iters > 0 and step is not None:
+        k_row, k_col = jax.random.split(k_pix)
+        dH = max(1, int(H // 2 * precrop_frac))
+        dW = max(1, int(W // 2 * precrop_frac))
+        row_full = jax.random.randint(k_row, (n_rays,), 0, H)
+        col_full = jax.random.randint(k_col, (n_rays,), 0, W)
+        row_crop = jax.random.randint(
+            jax.random.fold_in(k_row, 1), (n_rays,), H // 2 - dH, H // 2 + dH)
+        col_crop = jax.random.randint(
+            jax.random.fold_in(k_col, 1), (n_rays,), W // 2 - dW, W // 2 + dW)
+        use_crop = step < precrop_iters
+        row = jnp.where(use_crop, row_crop, row_full)
+        col = jnp.where(use_crop, col_crop, col_full)
+        pix_idx = row * W + col
+    else:
+        pix_idx = jax.random.randint(k_pix, (n_rays,), 0, H * W)
     py = (pix_idx // W).astype(jnp.float32)
     px = (pix_idx % W).astype(jnp.float32)
     target = images_u8[img_idx, pix_idx // W, pix_idx % W].astype(jnp.float32) / 255.0
@@ -87,7 +113,8 @@ def sample_ray_batch(
 
 @partial(
     jax.jit,
-    static_argnames=("tx", "opts", "n_rays", "n_steps", "mesh"),
+    static_argnames=("tx", "opts", "n_rays", "n_steps", "mesh",
+                     "precrop_iters", "precrop_frac"),
     donate_argnames=("state",),
 )
 def train_steps(
@@ -102,6 +129,8 @@ def train_steps(
     n_steps: int,
     grid: Optional[OccupancyGrid] = None,
     mesh: Optional[Mesh] = None,
+    precrop_iters: int = 0,
+    precrop_frac: float = 0.5,
 ):
     """Run ``n_steps`` train steps in one compiled scan (keeps the chip busy;
     stats come back as the mean over the chunk).
@@ -119,7 +148,9 @@ def train_steps(
         k = jax.random.fold_in(key, state.step)
         k_batch, k_render = jax.random.split(k)
         rays_o, rays_d, target = sample_ray_batch(
-            k_batch, images_u8, poses, intrinsics, n_rays
+            k_batch, images_u8, poses, intrinsics, n_rays,
+            step=state.step, precrop_iters=precrop_iters,
+            precrop_frac=precrop_frac,
         )
         if ray_sharding is not None:
             rays_o = jax.lax.with_sharding_constraint(rays_o, ray_sharding)

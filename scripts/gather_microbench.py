@@ -21,14 +21,25 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def bench(fn, *args, iters=3):
-    out = fn(*args)
-    np.asarray(out)  # compile + sync
+def bench(fn, table, idx_list, iters=3):
+    """Times fn(table, idx) over DISTINCT idx arrays per iteration.
+
+    The relay caches byte-identical calls (CLAUDE.md 'vary PRNG keys
+    between iterations'), so idx_list must hold iters+1 pre-generated
+    distinct index arrays; idx_list[0] warms up compile.
+    """
+    assert len(idx_list) >= iters + 1
+    np.asarray(fn(table, idx_list[0]))  # compile + sync
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    np.asarray(out)
+    outs = [fn(table, idx_list[1 + i]) for i in range(iters)]
+    np.asarray(outs[-1])
     return (time.time() - t0) / iters
+
+
+def make_idx_list(key, shape, maxval, iters=3):
+    import jax
+    return [jax.random.randint(jax.random.fold_in(key, i), shape, 0, maxval,
+                               dtype="int32") for i in range(iters + 1)]
 
 
 def main():
@@ -44,13 +55,13 @@ def main():
     for W in (1, 2, 4, 8, 16, 32, 128):
         R = total_elems // W
         table = jax.random.normal(key, (T, W), jnp.bfloat16)
-        idx = jax.random.randint(key, (R,), 0, T, jnp.int32)
+        idxs = make_idx_list(jax.random.fold_in(key, W), (R,), T)
 
         @jax.jit
         def g(tab, ix):
             return tab[ix].sum(dtype=jnp.float32)
 
-        dt = bench(g, table, idx)
+        dt = bench(g, table, idxs)
         print(
             f"W={W:4d} R={R/1e6:7.2f}M rows: {dt*1e3:8.1f} ms  "
             f"{R/dt/1e6:8.1f} Mrows/s  {R*W/dt/1e6:9.1f} Melem/s"
@@ -60,37 +71,40 @@ def main():
     R = 1 << 21
     for dtype, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32 ")):
         table = jax.random.normal(key, (T, 2), dtype)
-        idx = jax.random.randint(key, (R,), 0, T, jnp.int32)
+        idxs = make_idx_list(jax.random.fold_in(key, hash(name) % 997),
+                             (R,), T)
 
         @jax.jit
         def g(tab, ix):
             return tab[ix].sum(dtype=jnp.float32)
 
-        dt = bench(g, table, idx)
+        dt = bench(g, table, idxs)
         print(f"dtype={name} W=2 R={R/1e6:.2f}M: {dt*1e3:8.1f} ms  "
               f"{R/dt/1e6:8.1f} Mrows/s")
 
     # the hashgrid-shaped workloads: P points, L=16 levels
     P, L, F = 196_608, 16, 2
     table = jax.random.normal(key, (L * T, F), jnp.bfloat16)
-    idx = jax.random.randint(key, (L * P * 8,), 0, L * T, jnp.int32)
+    idxs = make_idx_list(jax.random.fold_in(key, 1001), (L * P * 8,),
+                          L * T)
 
     @jax.jit
     def cur(tab, ix):
         return tab[ix].sum(dtype=jnp.float32)
 
-    dt = bench(cur, table, idx)
+    dt = bench(cur, table, idxs)
     print(f"current hash shape  ({L*P*8/1e6:.1f}M rows of {F}): "
           f"{dt*1e3:8.1f} ms  {P/dt/1e3:7.1f} Kpts/s")
 
     tableC = jax.random.normal(key, (L * (T // 8), 8 * F), jnp.bfloat16)
-    idxC = jax.random.randint(key, (L * P,), 0, L * (T // 8), jnp.int32)
+    idxsC = make_idx_list(jax.random.fold_in(key, 1002), (L * P,),
+                          L * (T // 8))
 
     @jax.jit
     def cellpack(tab, ix):
         return tab[ix].sum(dtype=jnp.float32)
 
-    dt = bench(cellpack, tableC, idxC)
+    dt = bench(cellpack, tableC, idxsC)
     print(f"cellpack hash shape ({L*P/1e6:.1f}M rows of {8*F}): "
           f"{dt*1e3:8.1f} ms  {P/dt/1e3:7.1f} Kpts/s")
 

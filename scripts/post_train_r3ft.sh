@@ -14,15 +14,21 @@ mkdir -p "$OUT"
 DATA=/root/reference/data/nerf_synthetic
 
 # wait until the training process group is gone (covers both natural
-# completion and a cooperative /tmp/stop_training shutdown)
+# completion and a cooperative /tmp/stop_training shutdown).
+# An EMPTY/MISSING pgid file means "training not confirmed down" (the
+# watchdog may not have recorded it yet) — never break on that alone, or
+# TPU eval could start beside a live trainer (the two-process futex wedge).
 PGIDFILE=/tmp/train_r1c.pgid
 while true; do
+  if [ -f /tmp/train_done ] || [ -f /tmp/stop_training ]; then
+    sleep 10   # let the watchdog loop notice and exit too
+    break
+  fi
   PG=$(cat "$PGIDFILE" 2>/dev/null)
-  if [ -z "$PG" ] || ! kill -0 "$PG" 2>/dev/null; then
-    # give the watchdog loop time to notice and exit too
+  if [ -n "$PG" ] && ! kill -0 "$PG" 2>/dev/null; then
+    # recorded group exists and is down; double-check it stays down
     sleep 5
-    if [ -f /tmp/stop_training ] || [ -f /tmp/train_done ] \
-       || ! kill -0 "$PG" 2>/dev/null; then
+    if ! kill -0 "$PG" 2>/dev/null; then
       break
     fi
   fi

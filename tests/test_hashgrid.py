@@ -88,6 +88,27 @@ def test_level_resolutions_growth():
     res = level_resolutions(16, 16, 1.3819)
     assert res[0] == 16 and res[-1] > 2000 and (np.diff(res) > 0).all()
 
+
+def test_fine_levels_use_hash_not_overflowed_dense():
+    """Regression: at the default geometry the finest levels (res 1481,
+    2047) overflow int32 in (res+1)**3, which used to flip their dense-fits
+    test to True and silently alias them through wrapped direct indexing.
+    The numpy oracle computes the dense test in Python ints, so a full
+    default-geometry comparison catches the bug."""
+    res = level_resolutions(16, 16, 1.3819)
+    # the precondition that makes this a real test: int32 overflow occurs
+    wrapped = (res[-2:].astype(np.int32) + 1)  # res 1481, 2047
+    with np.errstate(over="ignore"):
+        wrapped = wrapped * wrapped * wrapped
+    assert (wrapped < 0).any(), "geometry no longer overflows; update test"
+    params = init_hashgrid(jax.random.PRNGKey(6), n_levels=16,
+                           log2_table_size=19, dtype=jnp.float32)
+    pts = np.random.RandomState(4).uniform(-2, 2, (32, 3)).astype(np.float32)
+    got = np.asarray(hashgrid_encode(params, jnp.asarray(pts),
+                                     resolutions=res))
+    want = np_oracle(np.asarray(params["table"]), res, pts)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
 # ---------------------------------------------------------------------------
 # cellpack layout (TPU-native: one wide row per point-level)
 

@@ -125,3 +125,40 @@ def test_pretrain_initialization(micro_scene, tmp_path):
     })
     with pytest.raises(FileNotFoundError):
         train(cfg3)
+
+
+def test_precrop_warmup_sampling():
+    """While step < precrop_iters pixels come from the central crop only;
+    after the warmup the full image is sampled (reference lego.yaml:26-27
+    declares precrop_iters/frac but never wires them — we do)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.train.state import sample_ray_batch
+    from nerf_tpu.render.rays import rays_for_pixels
+
+    rng = np.random.RandomState(0)
+    H = W = 32
+    images = jnp.asarray(rng.randint(0, 256, (1, H, W, 3), np.uint8))
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    K = jnp.asarray([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                    jnp.float32)
+
+    def pixel_coords(step):
+        # recover the sampled pixel from the ray direction: the sampler uses
+        # rays_for_pixels(px, py, K, pose); with identity pose the direction
+        # encodes (px-cx)/fx, -(py-cy)/fy before normalization
+        ro, rd, tgt = sample_ray_batch(
+            jax.random.PRNGKey(3), images, poses, K, 256,
+            step=jnp.asarray(step), precrop_iters=100, precrop_frac=0.5)
+        rd = np.asarray(rd)
+        px = rd[:, 0] / (-rd[:, 2]) * 40.0 + W / 2
+        py = -rd[:, 1] / (-rd[:, 2]) * 40.0 + H / 2
+        return px, py
+
+    px, py = pixel_coords(0)  # warmup: central 50% crop only
+    assert px.min() >= W / 2 - 8 - 0.5 and px.max() <= W / 2 + 8 + 0.5
+    assert py.min() >= H / 2 - 8 - 0.5 and py.max() <= H / 2 + 8 + 0.5
+    px, py = pixel_coords(100)  # past warmup: full image
+    assert px.min() < W / 2 - 8 or py.min() < H / 2 - 8
+    assert px.max() > W / 2 + 8 or py.max() > H / 2 + 8
