@@ -54,8 +54,17 @@ def render_rays_marched(
     block_samples: int = 16,
     model: str = "fine",
     query_fn: Optional[Callable] = None,
+    refocus: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """March n_blocks x block_samples fixed-dt samples per ray.
+
+    ``refocus``: probe the occupancy grid along [t_enter, t_exit] and march
+    only the [first, last]-occupied span of each ray (the marched-path
+    analog of ESS refocusing, occupancy.sample_coarse_with_ess) — the same
+    sample budget lands at a ~2-4x finer step where the scene actually is.
+    The reference's DDA likewise advances through occupied voxels only
+    (generate_inputs.cu:60-193); here the span is contiguous so shapes stay
+    static.
 
     Returns rgb_map/depth_map/acc_map/disp_map [N(,3)].
     """
@@ -71,6 +80,20 @@ def render_rays_marched(
         bb_max = jnp.full((3,), 2.0)
     t_enter, t_exit, hit = ray_aabb(rays_o, rays_d, bb_min, bb_max,
                                     opts.near, opts.far)
+    if refocus and grid is not None:
+        n_probe = 64
+        tp = jnp.linspace(0.0, 1.0, n_probe)
+        zp = t_enter[:, None] * (1.0 - tp) + t_exit[:, None] * tp  # [n, P]
+        probe_occ = occ.query(
+            grid, rays_o[:, None, :] + rays_d[:, None, :] * zp[..., None])
+        has_occ = jnp.any(probe_occ, axis=-1)
+        big = jnp.float32(1e10)
+        pad = (t_exit - t_enter) / (n_probe - 1)  # one probe interval
+        z_lo = jnp.min(jnp.where(probe_occ, zp, big), axis=-1) - pad
+        z_hi = jnp.max(jnp.where(probe_occ, zp, -big), axis=-1) + pad
+        t_enter = jnp.where(has_occ, jnp.maximum(z_lo, t_enter), t_enter)
+        t_exit = jnp.where(has_occ, jnp.minimum(z_hi, t_exit), t_exit)
+        hit = hit & has_occ
     total = n_blocks * block_samples
     dt = (t_exit - t_enter) / total  # [n]
 
@@ -134,11 +157,11 @@ def render_rays_marched(
 
 
 @partial(jax.jit, static_argnames=("H", "W", "opts", "n_blocks",
-                                   "block_samples", "tile"))
+                                   "block_samples", "tile", "refocus"))
 def render_image_marched(
     params, pose, intrinsics, key, H: int, W: int, opts: RenderOptions,
     grid=None, n_blocks: int = 16, block_samples: int = 16,
-    tile: int = 16384,
+    tile: int = 16384, refocus: bool = True,
 ):
     """Whole-image fixed-step marching via lax.map over ray tiles."""
     from .rays import image_rays
@@ -155,7 +178,8 @@ def render_image_marched(
         ro, rd = args
         out = render_rays_marched(params, ro, rd, key, opts, grid=grid,
                                   n_blocks=n_blocks,
-                                  block_samples=block_samples)
+                                  block_samples=block_samples,
+                                  refocus=refocus)
         return {k: v for k, v in out.items() if k != "transmittance"}
 
     out = jax.lax.map(tile_fn, (rays_o.reshape(n_tiles, t, 3),

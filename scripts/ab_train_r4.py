@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Round-4 train-time quality levers: controlled A/B screening, ONE process.
+
+VERDICT r3 #1: the 30.80 dB headline has untested TRAIN-time levers —
+f32 compute, 4096-ray batches (rescheduled decay), precrop warmup,
+full-image loss. This runs short controlled segments of the REAL trainer
+(train/loop.py) per lever and reports val PSNR + train rays/s, so the full
+run commits to the measured winner.
+
+Two screening modes per variant:
+- continuation: params-only init from the committed epoch-639 checkpoint
+  (fresh Adam at the segment lr) — isolates late-stage effects (precision,
+  batch size) on an already-converged model. "Short resumed segments are
+  fine for screening" (VERDICT #1).
+- scratch: fresh init — for early-training levers (precrop warmup).
+
+Usage (TPU, no other TPU process):
+    python scripts/ab_train_r4.py [variant ...]   # default: all
+Writes /tmp/ab_train_r4/results.json; one JSON line per variant on stdout.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+DATA = "/root/reference/data/nerf_synthetic"
+CKPT = "checkpoints/nerf/lego/nerf"
+OUT = "/tmp/ab_train_r4"
+
+# name -> (mode, cfg overrides)
+# Continuation segments: 20 epochs at lr 6e-5 (~ the schedule's value around
+# epoch 560: 5e-4 * 0.1^(560/500)), near-constant within the segment.
+_SEG = {
+    "train.lr": "6e-5", "train.scheduler.gamma": "0.1",
+    "train.scheduler.decay_epochs": "100000",
+    "train.epoch": "20", "pretrain": CKPT, "resume": "False",
+}
+VARIANTS = {
+    "ctl_bf16_1024": ("cont", dict(_SEG)),
+    "f32_1024": ("cont", {**_SEG, "network.dtype": "float32"}),
+    "bf16_4096": ("cont", {**_SEG, "task_arg.N_rays": "4096",
+                           "ep_iter": "125"}),
+    # re-annealed big-batch: lr restarts at 1.5e-4 and decays over the
+    # segment (the "rescheduled decay horizon" shape, compressed)
+    "reanneal_4096": ("cont", {**_SEG, "task_arg.N_rays": "4096",
+                               "ep_iter": "125", "train.lr": "1.5e-4",
+                               "train.scheduler.decay_epochs": "40"}),
+    # early-training lever: precrop warmup, from scratch, 12 epochs
+    "scratch_base": ("scratch", {"train.epoch": "12", "resume": "False"}),
+    "scratch_precrop": ("scratch", {"train.epoch": "12", "resume": "False",
+                                    "task_arg.precrop_iters": "500"}),
+}
+
+VAL_FRAMES = (0, 16, 32, 48, 64, 80)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.config import make_cfg
+    from nerf_tpu.data.blender import make_dataset
+    from nerf_tpu.eval.metrics import psnr as psnr_fn
+    from nerf_tpu.render.renderer import RenderOptions, render_image
+    from nerf_tpu.train.loop import train
+
+    os.makedirs(OUT, exist_ok=True)
+    names = sys.argv[1:] or list(VARIANTS)
+    results = {}
+
+    for name in names:
+        mode, over = VARIANTS[name]
+        ws = os.path.join(OUT, f"ws_{name}")
+        opts_list = ["train_dataset.data_root", DATA,
+                     "test_dataset.data_root", DATA,
+                     "workspace", ws,
+                     "eval_ep", "1000", "save_latest_ep", "1000",
+                     "save_ep", "1000"]
+        for k, v in over.items():
+            opts_list += [k, str(v)]
+        cfg = make_cfg("configs/nerf/lego.yaml", opts_list)
+        print(f"=== {name} ({mode}) ===", flush=True)
+        t0 = time.time()
+        state, grid = train(cfg)
+        t_train = time.time() - t0
+        n_rays = int(cfg.task_arg.N_rays)
+        ep_iter = int(cfg.get("ep_iter", 500))
+        epochs = int(cfg.train.epoch)
+        rays = epochs * ep_iter * n_rays
+        rps = rays / t_train  # includes compile; per-epoch prints exclude
+
+        # val PSNR on fixed full-res frames with the variant's own opts
+        opts = RenderOptions.from_cfg(cfg)
+        val_cfg = cfg.clone()
+        val_cfg.test_dataset.split = "val"
+        ds = make_dataset(val_cfg, "test")
+        K = jnp.asarray(ds.K)
+        psnrs = []
+        for i in VAL_FRAMES:
+            out = render_image(state.params, jnp.asarray(ds.poses[i]), K,
+                               jax.random.PRNGKey(i), ds.H, ds.W, opts,
+                               grid=grid)
+            pred = np.clip(np.asarray(out.get("rgb_map", out["rgb_map_0"]),
+                                      np.float32), 0, 1)
+            psnrs.append(float(psnr_fn(pred, ds.images[i])))
+        rec = {"mode": mode, "val_psnr": round(float(np.mean(psnrs)), 3),
+               "per_frame": [round(p, 2) for p in psnrs],
+               "train_s": round(t_train, 1),
+               "rays_per_s_incl_compile": round(rps, 0),
+               "epochs": epochs, "n_rays": n_rays, "ep_iter": ep_iter}
+        results[name] = rec
+        print(json.dumps({name: rec}), flush=True)
+        with open(os.path.join(OUT, "results.json"), "w") as f:
+            json.dump(results, f, indent=1)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -126,3 +126,46 @@ def test_marched_compaction_matches_uncompacted():
         _opts(enable_ess=True, enable_ert=True, ess_compaction=0.5),
         grid=grid, n_blocks=4, block_samples=8)
     assert np.all(np.isfinite(np.asarray(out_tight["rgb_map"])))
+
+
+def test_refocus_marches_occupied_span():
+    """With a slab-occupied grid, refocusing must (a) stay finite, (b) put
+    the depth estimate inside the occupied slab, and (c) equal the
+    unrefocused render when the whole bbox is occupied (full grid)."""
+    from nerf_tpu.render import occupancy as occ
+
+    opts = _opts(enable_ess=True)
+    params = init_nerf_params(jax.random.PRNGKey(2), opts)
+    n = 8
+    rays_o = jnp.zeros((n, 3))
+    rays_d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (n, 3))
+
+    # full grid: refocus is a no-op (entire span occupied)
+    g_full = occ.full_grid(16)
+    a = render_rays_marched(params, rays_o, rays_d, jax.random.PRNGKey(3),
+                            opts, grid=g_full, n_blocks=4, block_samples=8,
+                            query_fn=query_network_xla, refocus=True)
+    b = render_rays_marched(params, rays_o, rays_d, jax.random.PRNGKey(3),
+                            opts, grid=g_full, n_blocks=4, block_samples=8,
+                            query_fn=query_network_xla, refocus=False)
+    np.testing.assert_allclose(np.asarray(a["rgb_map"]),
+                               np.asarray(b["rgb_map"]), atol=1e-5)
+
+    # slab grid: occupied only for z in [-0.5, 0.5] (ray z range [3.5, 4.5])
+    res = 16
+    occ3d = np.zeros((res, res, res), bool)
+    occ3d[:, :, 6:10] = True  # z slab around 0
+    g_slab = occ.OccupancyGrid(
+        occupied=jnp.asarray(occ3d),
+        bbox_min=g_full.bbox_min, bbox_max=g_full.bbox_max)
+    out = render_rays_marched(params, rays_o, rays_d, jax.random.PRNGKey(4),
+                              opts, grid=g_slab, n_blocks=4, block_samples=8,
+                              query_fn=query_network_xla, refocus=True)
+    rgb = np.asarray(out["rgb_map"])
+    assert np.isfinite(rgb).all()
+    acc = np.asarray(out["acc_map"])
+    depth = np.asarray(out["depth_map"]) / np.maximum(acc, 1e-8)
+    # wherever anything was hit, its depth lies in the slab's z-range
+    hit = acc > 1e-3
+    if hit.any():
+        assert (depth[hit] > 3.2).all() and (depth[hit] < 4.8).all()
