@@ -41,6 +41,7 @@ CMD="$CMD $*"
 
 echo "launching [$MODE]: $CMD"
 export WATCHDOG_CMD="timeout 25000 $CMD"
+export WATCHDOG_MAX_RESTARTS=${WATCHDOG_MAX_RESTARTS:-60}
 export WATCHDOG_LOG=/tmp/train_r4.log
 nohup bash scripts/train_watchdog.sh > /tmp/watchdog_r4_nohup.log 2>&1 &
 echo "watchdog pid $! ; log /tmp/train_r4.log"

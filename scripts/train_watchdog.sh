@@ -33,7 +33,9 @@ kill_group() {
 
 launch
 restarts=0
-while [ $restarts -lt 6 ]; do
+# WATCHDOG_MAX_RESTARTS: raise when the tunnel wedges repeatedly
+# (round-4: wedge windows of 30-45 min at ~6 min per relaunch cycle)
+while [ $restarts -lt ${WATCHDOG_MAX_RESTARTS:-6} ]; do
   sleep 60
   # cooperative stop: bench.py (run by the round driver on the same chip)
   # touches this file and waits; yield the TPU and exit cleanly
