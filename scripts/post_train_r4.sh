@@ -64,7 +64,11 @@ echo "$(date) bench done rc=$?" >> "$OUT/progress.log"
 timeout 1500 python -u scripts/gather_microbench.py > "$OUT/gather.log" 2>&1
 echo "$(date) gather done rc=$?" >> "$OUT/progress.log"
 
-# 7. CPU suite last (no TPU process running by now)
+# 7. CPU-mesh scaling artifact (VERDICT r3 #5) + CPU suite last
+PALLAS_AXON_POOL_IPS= timeout 1200 python -u bench_scaling.py \
+  --devices 8 --rays-per-device 1024 > "$OUT/scaling.log" 2>&1
+cp scaling_results.json "$OUT/" 2>/dev/null || true
+echo "$(date) scaling done rc=$?" >> "$OUT/progress.log"
 PALLAS_AXON_POOL_IPS= timeout 1800 python -m pytest tests/ -q \
   > "$OUT/pytest.log" 2>&1
 echo "$(date) pytest done rc=$?" >> "$OUT/progress.log"
