@@ -64,6 +64,23 @@ echo "$(date) bench done rc=$?" >> "$OUT/progress.log"
 timeout 1500 python -u scripts/gather_microbench.py > "$OUT/gather.log" 2>&1
 echo "$(date) gather done rc=$?" >> "$OUT/progress.log"
 
+# 6b. post-sampler-fix profile (VERDICT r3 #2)
+timeout 1500 python -u scripts/profile_tpu.py > "$OUT/profile.log" 2>&1
+echo "$(date) profile done rc=$?" >> "$OUT/progress.log"
+python3 scripts/trace_summary.py /tmp/jaxprof/eval 20 > "$OUT/trace_eval.txt" 2>&1 || true
+python3 scripts/trace_summary.py /tmp/jaxprof/train 20 > "$OUT/trace_train.txt" 2>&1 || true
+
+# 6c. hash-encoder diagnosis (VERDICT r3 #3)
+timeout 2400 python -u scripts/diag_hash_r4.py > "$OUT/diag_hash.log" 2>&1
+echo "$(date) diag_hash done rc=$?" >> "$OUT/progress.log"
+python3 scripts/trace_summary.py /tmp/jaxprof/hash_corner 20 > "$OUT/trace_hash_corner.txt" 2>&1 || true
+python3 scripts/trace_summary.py /tmp/jaxprof/hash_cellpack 20 > "$OUT/trace_hash_cellpack.txt" 2>&1 || true
+
+# 6d. marched-path refocusing sweep (VERDICT r3 #7)
+timeout 2400 python -u scripts/marched_sweep_r4.py > "$OUT/marched.log" 2>&1
+echo "$(date) marched done rc=$?" >> "$OUT/progress.log"
+cp /tmp/marched_sweep_r4.json "$OUT/" 2>/dev/null || true
+
 # 7. CPU-mesh scaling artifact (VERDICT r3 #5) + CPU suite last
 PALLAS_AXON_POOL_IPS= timeout 1200 python -u bench_scaling.py \
   --devices 8 --rays-per-device 1024 > "$OUT/scaling.log" 2>&1
