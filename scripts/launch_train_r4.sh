@@ -44,4 +44,5 @@ export WATCHDOG_CMD="timeout 25000 $CMD"
 export WATCHDOG_MAX_RESTARTS=${WATCHDOG_MAX_RESTARTS:-60}
 export WATCHDOG_LOG=/tmp/train_r4.log
 nohup bash scripts/train_watchdog.sh > /tmp/watchdog_r4_nohup.log 2>&1 &
+echo $! > /tmp/watchdog_r4.pid
 echo "watchdog pid $! ; log /tmp/train_r4.log"

@@ -18,17 +18,23 @@ mkdir -p "$OUT"
 DATA=/root/reference/data/nerf_synthetic
 
 if [ "${1:-}" != "--now" ]; then
-  # wait for training to be confirmed down (empty/missing pgid file means
-  # "not confirmed" — keep waiting; see post_train_r3ft.sh rationale)
-  PGIDFILE=/tmp/train_r1c.pgid
+  # Wait for training to be confirmed down. The ONLY safe signals are
+  # /tmp/train_done (watchdog-confirmed completion) or the WATCHDOG itself
+  # being gone (pid recorded by launch_train_r4.sh). Checking the training
+  # PGID is RACY: the watchdog kill->relaunch window leaves the recorded
+  # group dead for ~10 s, which round 4 measured the hard way — the post
+  # sequence fired mid-run and ran TPU phases beside a live trainer.
+  WPIDFILE=/tmp/watchdog_r4.pid
   while true; do
     if [ -f /tmp/train_done ] || [ -f /tmp/stop_training ]; then
       sleep 10; break
     fi
-    PG=$(cat "$PGIDFILE" 2>/dev/null)
-    if [ -n "$PG" ] && ! kill -0 "$PG" 2>/dev/null; then
-      sleep 5
-      kill -0 "$PG" 2>/dev/null || break
+    WP=$(cat "$WPIDFILE" 2>/dev/null)
+    if [ -n "$WP" ] && ! kill -0 "$WP" 2>/dev/null; then
+      # watchdog gone: make sure the training group is too
+      PG=$(cat /tmp/train_r1c.pgid 2>/dev/null)
+      [ -n "$PG" ] && kill -0 "$PG" 2>/dev/null && { sleep 20; continue; }
+      break
     fi
     sleep 20
   done
