@@ -20,9 +20,11 @@ bound and WIDE rows amortize. Hence: (a) all levels are fetched in ONE
 flat row gather, (b) the ``cellpack`` layout packs a cell's 8 corner
 features into one wide row (8x fewer rows, 4.9x measured forward; the
 backward's wide-row scatter-add is likewise ~5.7x faster than the
-corner layout's narrow scatters — but the END-TO-END cellpack train step
-currently measures ~6.6x SLOWER than corner, an open XLA lowering issue;
-see docs/PERF.md "open contradiction"), (c) the table defaults to
+corner layout's narrow scatters; END-TO-END the cellpack train step is
+6.7x faster than corner — 3,292 vs 492 rays/s, scripts/diag_hash_r4.py.
+Round 3 measured the opposite only because the int32 dense-flag overflow
+produced negative scatter indices; see docs/PERF.md), (c) the table
+defaults to
 bfloat16 (tcnn keeps fp16 tables, hashencoder/hashgrid.py:15-118 casts to
 half — parity), (d) pair hashgrid configs with fine-pass ESS compaction
 (RenderOptions.ess_compaction) to cut queried points.
