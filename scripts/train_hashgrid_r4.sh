@@ -43,7 +43,8 @@ from nerf_tpu.train.loop import make_density_fn
 from run import _load_eval_params
 
 DATA = "/root/reference/data/nerf_synthetic"
-cfg = make_cfg("configs/nerf/lego_hashgrid.yaml", [
+import os
+cfg = make_cfg(os.environ.get("HASH_EVAL_CFG", "configs/nerf/lego_hashgrid.yaml"), [
     "train_dataset.data_root", DATA, "test_dataset.data_root", DATA])
 opts = RenderOptions.from_cfg(cfg)
 params = _load_eval_params(cfg, opts)
