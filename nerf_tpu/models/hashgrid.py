@@ -202,7 +202,9 @@ def hashgrid_encode(
     """
     import itertools
 
-    table = params["table"]
+    # checkpoints restore as numpy arrays; numpy fancy-indexing rejects
+    # traced indices, so make the table a jnp array up front
+    table = jnp.asarray(params["table"])
     L = table.shape[0]
     if resolutions is None:
         resolutions = level_resolutions(L, base_resolution, per_level_scale)

@@ -22,6 +22,20 @@ def _flatten(tree) -> Tuple[list, Any]:
     return leaves, treedef
 
 
+def _restore_leaf(arr: np.ndarray, like) -> np.ndarray:
+    """Cast a loaded array to the template leaf's dtype.
+
+    ml_dtypes leaves (bfloat16 hash tables) survive np.savez only as raw
+    void bytes (``|V2``) — numpy has no cast from void, so reinterpret the
+    bits instead (same itemsize guarantees a lossless round-trip)."""
+    want = np.asarray(like).dtype
+    if arr.dtype == want:
+        return arr
+    if arr.dtype.kind == "V" and arr.dtype.itemsize == want.itemsize:
+        return arr.view(want)
+    return np.asarray(arr, dtype=want)
+
+
 def save_checkpoint(
     model_dir: str,
     state,
@@ -71,8 +85,7 @@ def load_checkpoint(model_dir: str, template, tag: str = "latest"):
             f"checkpoint has {len(data.files)} leaves, expected {len(leaves)}"
         )
     new_leaves = [
-        np.asarray(data[f"leaf_{i}"], dtype=np.asarray(l).dtype)
-        for i, l in enumerate(leaves)
+        _restore_leaf(data[f"leaf_{i}"], l) for i, l in enumerate(leaves)
     ]
     state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     meta_path = os.path.join(model_dir, f"{tag}.json")
@@ -96,8 +109,7 @@ def load_params(model_dir: str, params_template, tag: str = "latest"):
     data = np.load(npz_path)
     leaves, treedef = _flatten(params_template)
     new_leaves = [
-        np.asarray(data[f"leaf_{i}"], dtype=np.asarray(l).dtype)
-        for i, l in enumerate(leaves)
+        _restore_leaf(data[f"leaf_{i}"], l) for i, l in enumerate(leaves)
     ]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 

@@ -162,3 +162,29 @@ def test_precrop_warmup_sampling():
     px, py = pixel_coords(100)  # past warmup: full image
     assert px.min() < W / 2 - 8 or py.min() < H / 2 - 8
     assert px.max() > W / 2 + 8 or py.max() > H / 2 + 8
+
+
+def test_checkpoint_roundtrip_bfloat16_leaves(tmp_path):
+    """bf16 leaves (hash tables) survive npz only as raw |V2 bytes; the
+    restore must reinterpret the bits (round-4 bug: hashgrid checkpoints
+    failed to load with 'No cast function available')."""
+    import jax.numpy as jnp
+
+    from nerf_tpu.train.checkpoint import (
+        load_checkpoint, load_params, save_checkpoint)
+
+    state = {
+        "w": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "table": jnp.asarray([[1.5, -2.0], [0.25, 4.0]], jnp.bfloat16),
+        "step": np.int32(7),
+    }
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, state, epoch=3)
+    loaded, epoch, _ = load_checkpoint(d, state)
+    assert epoch == 3
+    assert loaded["table"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(loaded["table"], np.float32),
+        np.asarray(state["table"], np.float32))
+    p = load_params(d, state)
+    assert p["table"].dtype == jnp.bfloat16
