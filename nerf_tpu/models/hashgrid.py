@@ -79,10 +79,13 @@ def init_hashgrid(
         every level (instant-NGP hash collisions alias entries but keep the
         interpolated field continuous — both sides of a face read the same
         rows). Trilinear and C0 within each cell only; grid-seam artifacts
-        are a real risk, and quality vs corner is unmeasured — any default
-        flip is gated on that A/B. NOTE also that end-to-end cellpack
-        TRAINING is currently ~6.6x slower than corner despite the 4.9x/5.7x
-        microbench wins (open XLA lowering issue, docs/PERF.md).
+        are a real risk — quality is tracked by the trained cellpack runs
+        (EVAL_r4 10-epoch probe showed no seam catastrophe; EVAL_r5 carries
+        the converged number). End-to-end cellpack TRAINING is ~6.7x FASTER
+        than corner (3,292 vs 492 rays/s, scripts/diag_hash_r4.py) — the
+        round-3 "6.6x slower" was the int32 dense-flag overflow driving
+        negative scatter indices, fixed + regression-tested (docs/PERF.md
+        "contradiction RESOLVED").
     """
     T = 1 << log2_table_size
     if layout == "cellpack":
@@ -182,6 +185,47 @@ def _gather_rows_bwd(sub, res, ct):
 _gather_rows_narrow_bwd.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@jax.custom_vjp
+def _gather_rows_slotpack_bwd(table2d: jnp.ndarray,
+                              flat_idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather whose BACKWARD scatter-adds 8 consecutive table rows as
+    one 8x-wide "super-row" per update (round-5 winner).
+
+    The cellpack train step is scatter-add bound (260 of 311 ms,
+    docs/PERF.md): the gather's autodiff transpose scatters 3.1M 16-wide
+    rows at ~12 Mrows/s. Scatter cost is per-ROW and sublinear in width,
+    so packing each cotangent row into slot ``idx % 8`` of a 128-wide
+    update addressed at ``idx // 8`` trades 8x more scattered elements
+    (cheap, bandwidth) for 8x-wider rows at the SAME row count, which the
+    per-row cost model rewards — measured 1.64x over the plain transpose
+    on a duplication-realistic index mix (scripts/scatter_strategies_r5.py:
+    434 vs 713 ms; `sorted` with indices_are_sorted measured WORSE, 832).
+    The forward is the identical plain gather. Requires n_rows % 8 == 0
+    (cellpack tables are [L * 2^16] rows). Gradient parity vs the plain
+    transpose is tested in tests/test_hashgrid.py.
+    """
+    return table2d[flat_idx]
+
+
+def _slotpack_fwd(table2d, flat_idx):
+    return table2d[flat_idx], (table2d.shape, flat_idx)
+
+
+def _slotpack_bwd(res, ct):
+    (n_rows, W), flat_idx = res
+    super_idx = flat_idx >> 3
+    slot = flat_idx & 7
+    wide = (ct[:, None, :]
+            * jax.nn.one_hot(slot, 8, dtype=ct.dtype)[..., None]
+            ).reshape(ct.shape[0], 8 * W)
+    grad = jnp.zeros((n_rows >> 3, 8 * W), ct.dtype).at[super_idx].add(wide)
+    return (grad.reshape(n_rows, W),
+            np.zeros(flat_idx.shape, jax.dtypes.float0))
+
+
+_gather_rows_slotpack_bwd.defvjp(_slotpack_fwd, _slotpack_bwd)
+
+
 def hashgrid_encode(
     params: Dict,
     pts: jnp.ndarray,
@@ -233,13 +277,16 @@ def hashgrid_encode(
         flat_idx = (
             idx + (jnp.arange(L, dtype=idx.dtype) * Tc)[:, None]
         ).reshape(-1)
-        # plain gather: its autodiff transpose is a WIDE-row scatter-add,
-        # which is the FAST case (scripts/scatter_microbench.py: 3.1M
-        # 16-wide rows scatter in 260 ms vs 1,488 ms for the same elements
-        # as 25.2M narrow rows — scatter cost is per-row too). The
-        # narrow-split custom VJP (_gather_rows_narrow_bwd) measured 5.7x
-        # WORSE and is kept only as a documented negative result.
-        feats = table.reshape(L * Tc, row_w)[flat_idx].reshape(
+        # gather with the slotpack backward: the plain gather's autodiff
+        # transpose (3.1M 16-wide row scatter-adds, 260 ms — the train
+        # step's dominant cost) is replaced by a custom VJP that scatters
+        # the same rows packed 8-per-128-wide super-row (1.64x, round-5
+        # measurement — see _gather_rows_slotpack_bwd). The narrow-split
+        # VJP (_gather_rows_narrow_bwd) measured 5.7x WORSE and is kept
+        # only as a documented negative result.
+        feats = _gather_rows_slotpack_bwd(
+            table.reshape(L * Tc, row_w), flat_idx
+        ).reshape(
             L, x.shape[0], 1 << D, F
         )  # [L, N, 2^D, F] — ONE gathered row per (point, level)
     else:

@@ -246,3 +246,30 @@ def test_cellpack_custom_vjp_matches_plain_gather_grad():
     g1 = jax.grad(loss_custom)(table)
     g2 = jax.grad(loss_plain)(table)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
+def test_slotpack_vjp_matches_plain_gather_grad():
+    """The slotpack backward (8 rows packed per 128-wide super-row, the
+    round-5 fast path) must equal the plain gather's autodiff gradient."""
+    from nerf_tpu.models.hashgrid import _gather_rows_slotpack_bwd
+
+    rng = np.random.RandomState(11)
+    table = jnp.asarray(rng.randn(64, 16), jnp.float32)
+    # include heavy duplication (the realistic coarse-level case)
+    idx = jnp.asarray(rng.randint(0, 8, (200,)), jnp.int32)
+    ct = jnp.asarray(rng.randn(200, 16), jnp.float32)
+
+    def loss_custom(t):
+        return jnp.sum(_gather_rows_slotpack_bwd(t, idx) * ct)
+
+    def loss_plain(t):
+        return jnp.sum(t[idx] * ct)
+
+    g1 = jax.grad(loss_custom)(table)
+    g2 = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
+
+    # forward parity too
+    np.testing.assert_allclose(
+        np.asarray(_gather_rows_slotpack_bwd(table, idx)),
+        np.asarray(table[idx]))
