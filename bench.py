@@ -30,9 +30,11 @@ LEGO_ROOT = "/root/reference/data/nerf_synthetic"
 
 
 def bench_train(params, images_u8, poses, K, opts, grid, n_rays: int,
-                n_steps: int = 50):
-    """Train-step rays/s: one compiled scan chunk of ``n_steps`` steps,
-    timed after a warmup chunk (same code path as train/loop.py)."""
+                n_steps: int = 50, n_reps: int = 3):
+    """Train-step rays/s: median over ``n_reps`` independently-timed
+    compiled scan chunks of ``n_steps`` steps each, after a warmup chunk
+    (same code path as train/loop.py). Fresh PRNG key per rep so the relay
+    can't serve a cached result. Returns (median, reps)."""
     import jax
     import jax.numpy as jnp
 
@@ -46,13 +48,17 @@ def bench_train(params, images_u8, poses, K, opts, grid, n_rays: int,
     state, stats = train_steps(  # compile + warmup
         state, images_u8, poses, K, key, tx, opts, n_rays, n_steps, grid=grid)
     np.asarray(stats["loss"])
-    t0 = time.time()
-    state, stats = train_steps(
-        state, images_u8, poses, K, key, tx, opts, n_rays, n_steps, grid=grid)
-    np.asarray(stats["loss"])  # host transfer = honest sync
-    dt = time.time() - t0
+    reps = []
+    for i in range(n_reps):
+        k = jax.random.fold_in(key, i + 1)
+        t0 = time.time()
+        state, stats = train_steps(
+            state, images_u8, poses, K, k, tx, opts, n_rays, n_steps,
+            grid=grid)
+        np.asarray(stats["loss"])  # host transfer = honest sync
+        reps.append(n_steps * n_rays / (time.time() - t0))
     assert np.isfinite(float(stats["loss"]))
-    return n_steps * n_rays / dt
+    return float(np.median(reps)), reps
 
 
 def wait_for_tpu():
@@ -111,7 +117,10 @@ def main():
         kwargs["compute_dtype"] = "float32"
     for i, a in enumerate(sys.argv):
         if a == "--compaction" and i + 1 < len(sys.argv):
-            kwargs["ess_compaction"] = float(sys.argv[i + 1])
+            v = sys.argv[i + 1]
+            # "auto" = capacity-aware calibration per checkpoint (resolved
+            # below once params+grid exist)
+            kwargs["ess_compaction"] = -1.0 if v == "auto" else float(v)
         if a == "--tile" and i + 1 < len(sys.argv):
             kwargs["tile_rays"] = int(sys.argv[i + 1])
         if a == "--ktile" and i + 1 < len(sys.argv):
@@ -156,19 +165,46 @@ def main():
             grid = occ.populate_from_density(
                 grid, make_density_fn(params["coarse"], opts))
 
+    if opts.ess_compaction < 0.0:  # --compaction auto
+        from nerf_tpu.render.rays import image_rays
+        from nerf_tpu.render.renderer import resolve_compaction
+
+        ro, rd = image_rays(H, W, K, pose)
+        mid = (H * W) // 2
+        opts = resolve_compaction(opts, params, grid,
+                                  ro[mid - 2048:mid + 2048],
+                                  rd[mid - 2048:mid + 2048])
+
     # warmup (compile)
     out = render_image(params, pose, K, jax.random.PRNGKey(0), H, W, opts,
                        grid=grid)
     np.asarray(out["rgb_map"])  # force through the device queue
 
-    n_iters = 3
-    t0 = time.time()
-    for i in range(n_iters):
-        out = render_image(params, pose, K, jax.random.PRNGKey(i), H, W, opts,
-                           grid=grid)
+    # Relay-robust protocol (round-5): the tunnel's per-call latency drifts
+    # by 10-20% between runs (BENCH_r04 146.3k vs the builder's same-day
+    # 172.7k on identical code), so one averaged rep is hostage to tunnel
+    # state. Take the MEDIAN of n_reps independently-timed reps (warmup
+    # excluded, fresh PRNG key per rep so the relay can't serve a cached
+    # result), publish the per-rep values, and warn when the spread says
+    # the tunnel was degraded. Mirrors the reference's drop-first-average
+    # protocol (/root/reference/run.py:87-93) hardened for a noisy link.
+    n_reps = 5
+    for i, a in enumerate(sys.argv):
+        if a == "--reps" and i + 1 < len(sys.argv):
+            n_reps = int(sys.argv[i + 1])
+    reps = []
+    for i in range(n_reps):
+        t0 = time.time()
+        out = render_image(params, pose, K, jax.random.PRNGKey(i + 1), H, W,
+                           opts, grid=grid)
         np.asarray(out["rgb_map"])  # host transfer = honest sync
-    dt = (time.time() - t0) / n_iters
-    rays_per_s = H * W / dt
+        reps.append(H * W / (time.time() - t0))
+    rays_per_s = float(np.median(reps))
+    spread = (max(reps) - min(reps)) / rays_per_s
+    if spread > 0.10:
+        print(f"# WARNING: fwd rep spread {spread:.0%} (>10%) — relay "
+              f"latency unstable; median reported, reps in JSON",
+              file=sys.stderr)
 
     # train-step throughput (same chip, same model, 1024-ray batches like
     # configs/nerf/lego.yaml; --no-train skips it)
@@ -177,6 +213,8 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / XLA_BASELINE_RAYS_PER_S, 3),
+        "reps": [round(r, 1) for r in reps],
+        "rep_spread": round(spread, 3),
     }
     if "--no-train" not in sys.argv:
         n_rays = 1024
@@ -209,11 +247,18 @@ def main():
         if "--train-xla" in sys.argv:  # opt-in: bench the XLA train path
             train_kwargs["use_pallas"] = False
         train_opts = RenderOptions(**train_kwargs)
-        train_rps = bench_train(params, images_u8, tposes, K, train_opts,
-                                grid, n_rays)
+        train_rps, train_reps = bench_train(params, images_u8, tposes, K,
+                                            train_opts, grid, n_rays)
+        t_spread = (max(train_reps) - min(train_reps)) / train_rps
+        if t_spread > 0.10:
+            print(f"# WARNING: train rep spread {t_spread:.0%} (>10%) — "
+                  f"relay latency unstable; median reported",
+                  file=sys.stderr)
         record["train_rays_per_s"] = round(train_rps, 1)
         record["train_vs_baseline"] = round(
             train_rps / TRAIN_BASELINE_RAYS_PER_S, 3)
+        record["train_reps"] = [round(r, 1) for r in train_reps]
+        record["train_rep_spread"] = round(t_spread, 3)
     print(json.dumps(record))
 
 
