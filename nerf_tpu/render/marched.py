@@ -93,7 +93,10 @@ def render_rays_marched(
         z_hi = jnp.max(jnp.where(probe_occ, zp, -big), axis=-1) + pad
         t_enter = jnp.where(has_occ, jnp.maximum(z_lo, t_enter), t_enter)
         t_exit = jnp.where(has_occ, jnp.minimum(z_hi, t_exit), t_exit)
-        hit = hit & has_occ
+        # ADVICE r4: a structure thinner than one probe interval can slip
+        # between all 64 probes; keep ``hit`` unchanged so such rays fall
+        # back to the full unrefocused span (per-sample ESS still skips
+        # their empty samples) instead of compositing to pure background.
     total = n_blocks * block_samples
     dt = (t_exit - t_enter) / total  # [n]
 

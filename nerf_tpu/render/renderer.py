@@ -151,7 +151,11 @@ class RenderOptions:
             enable_ert=bool(cfg.get("enable_ert", True)),
             ert_threshold=float(cfg.get("ert_threshold", 0.01)),
             enable_ess=bool(cfg.get("enable_ess", True)),
-            ess_compaction=float(cfg.get("ess_compaction", 0.0)),
+            # "auto" -> -1.0 sentinel: resolved per checkpoint by
+            # calibrate_compaction (resolve_compaction) before rendering
+            ess_compaction=(
+                -1.0 if str(cfg.get("ess_compaction", 0.0)) == "auto"
+                else float(cfg.get("ess_compaction", 0.0))),
             xyz_freqs=int(xyz_enc.get("freq", 10)),
             dir_freqs=int(cfg.network.dir_encoder.freq),
             sigma_activation=str(cfg.network.get("sigma_activation", "relu")),
@@ -228,14 +232,16 @@ def get_query_fn(opts: RenderOptions) -> Callable:
             return query_network_kilonerf(params, pts, viewdirs, o, kcfg)
 
         return kilo_query
-    # Pallas TPU kernels only lower on TPU backends (the axon PJRT plugin
-    # reports its own platform name, so gate on "not cpu/gpu"). The fused
-    # kernel bakes the frequency encoding into row-permuted weights, so any
-    # other xyz encoder (hashgrid) must take the XLA path.
+    # Pallas TPU kernels only lower on TPU backends — allowlist the real
+    # platform names ("tpu" direct-attached, "axon" = this repo's tunnel
+    # PJRT plugin) rather than denylisting cpu/gpu (ADVICE r4: an unknown
+    # backend, e.g. metal, must fall back to XLA, not crash in Mosaic).
+    # The fused kernel bakes the frequency encoding into row-permuted
+    # weights, so any other xyz encoder (hashgrid) must take the XLA path.
     if (
         opts.use_pallas
         and opts.xyz_encoder_type == "frequency"
-        and jax.default_backend() not in ("cpu", "gpu", "cuda")
+        and jax.default_backend() in ("tpu", "axon")
     ):
         try:
             from ..ops.fused_mlp import query_network_pallas
@@ -319,6 +325,110 @@ def query_with_compaction(
         query_fn, params, pts, viewdirs, opts, occ_mask, cap)
 
 
+def fine_pass_mask(
+    grid: occ.OccupancyGrid,
+    pts_f: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    z_all: jnp.ndarray,
+    coarse_weights: jnp.ndarray,
+    opts: RenderOptions,
+) -> jnp.ndarray:
+    """[N, Sf] keep-mask for fine-pass compaction: occupancy AND (with ERT)
+    coarse-transmittance >= ert_threshold at each fine z. Shared between
+    the render path and calibrate_compaction."""
+    mask = occ.query(grid, pts_f.reshape(-1, 3)).reshape(z_all.shape)
+    if opts.enable_ert:
+        # T after coarse sample i is 1 - sum_{j<=i} w_j; step-wise
+        # estimate at each fine z from the preceding coarse sample
+        cum_w = jnp.cumsum(coarse_weights, axis=-1)
+        idx = jax.vmap(jnp.searchsorted)(z_vals, z_all)  # [N, Sf]
+        t_est = 1.0 - jnp.take_along_axis(
+            cum_w, jnp.maximum(idx - 1, 0), axis=-1)
+        t_est = jnp.where(idx > 0, t_est, 1.0)
+        mask = mask & (jax.lax.stop_gradient(t_est) >= opts.ert_threshold)
+    return mask
+
+
+def calibrate_compaction(
+    params: Dict[str, Any],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: jax.Array,
+    opts: RenderOptions,
+    grid: occ.OccupancyGrid,
+    margin: float = 1.25,
+    disable_above: float = 0.30,
+) -> float:
+    """Capacity-aware compaction (round 5): measure the ACTUAL fine-pass
+    kept rate of this checkpoint on a probe ray batch and return a safe
+    ``ess_compaction`` fraction — or 0.0 when compaction cannot help.
+
+    The static-fraction knob was measured harmful whenever the kept rate
+    exceeded the guessed capacity (hash eval 12.72 dB, refocused marched
+    PSNR 17, r2 SSIM 0.76 — docs/PERF.md): over-capacity samples are
+    DROPPED, not deferred. Deriving the fraction from the probe batch's
+    measured kept rate (x ``margin`` headroom for batch-to-batch variance,
+    rounded up to the capacity granularity) makes the operating point
+    quality-neutral by construction; when the safe fraction clears
+    ``disable_above``, 0.0 is returned because the dense path is faster.
+    The 0.30 default is a measured cost model, not a guess: on the trained
+    lego checkpoint the calibrated fraction 0.767 rendered at 36.7k rays/s
+    vs 170.3k dense (round-5 ``bench.py --compaction auto``) — the
+    compacted query's cumsum/gather/scatter overhead makes its per-point
+    cost ~3.5x the dense path's, so compaction only wins when it skips the
+    large majority of samples. Host-side, once per checkpoint.
+    Reference analog: the compacted DDA exists to SKIP work
+    (generate_inputs.cu:60-193) — this keeps it a skip, never a drop.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    opts_dense = dataclasses.replace(opts, ess_compaction=0.0)
+    out = render_rays(params, rays_o, rays_d, key, opts_dense, grid=grid,
+                      train=False)
+    if "fine_z_vals" not in out:
+        return 0.0
+    z_vals = out["coarse_z_vals"]
+    z_all = out["fine_z_vals"]
+    pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., None]
+    mask = fine_pass_mask(grid, pts_f, z_vals, z_all, out["coarse_weights"],
+                          opts)
+    kept = float(np.asarray(jnp.mean(mask.astype(jnp.float32))))
+    n_pts = int(z_all.shape[0]) * int(z_all.shape[1])
+    frac = min(1.0, margin * kept)
+    # round up to what compaction_capacity will actually allocate
+    frac = compaction_capacity(n_pts, frac) / n_pts
+    if frac >= disable_above:
+        return 0.0
+    return frac
+
+
+def resolve_compaction(
+    opts: RenderOptions,
+    params: Dict[str, Any],
+    grid: Optional[occ.OccupancyGrid],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+) -> RenderOptions:
+    """Resolve ``ess_compaction: auto`` (the -1.0 sentinel) into a
+    calibrated static fraction for this checkpoint — host-side, before any
+    jit (the fraction is a static field). Pass a representative probe ray
+    batch (e.g. one render tile of a real camera)."""
+    import dataclasses
+
+    if opts.ess_compaction >= 0.0:
+        return opts
+    if grid is None or not opts.enable_ess:
+        return dataclasses.replace(opts, ess_compaction=0.0)
+    frac = calibrate_compaction(
+        params, rays_o, rays_d,
+        jax.random.PRNGKey(0) if key is None else key, opts, grid)
+    print(f"# ess_compaction auto -> {frac:.3f} (calibrated)")
+    return dataclasses.replace(opts, ess_compaction=frac)
+
+
 def render_rays(
     params: Dict[str, Any],
     rays_o: jnp.ndarray,
@@ -381,7 +491,7 @@ def render_rays(
     if (opts.use_pallas_integrate
             and opts.raw_noise_std == 0.0
             and opts.sigma_activation in ("relu", "softplus")
-            and jax.default_backend() not in ("cpu", "gpu", "cuda")):
+            and jax.default_backend() in ("tpu", "axon")):
         from ..ops.integrate import composite_pallas
 
         def composite_fn(raw_, z_, noise_key):
@@ -425,17 +535,11 @@ def render_rays(
             # transmittance has fallen below the ERT threshold — samples the
             # ERT composite would zero anyway. Terminated samples drop out
             # of the kept set, so the capacity survives ESS refocusing.
-            mask = occ.query(grid, pts_f.reshape(-1, 3)).reshape(z_all.shape)
-            if opts.enable_ert:
-                # T after coarse sample i is 1 - sum_{j<=i} w_j; step-wise
-                # estimate at each fine z from the preceding coarse sample
-                cum_w = jnp.cumsum(out_c["weights"], axis=-1)
-                idx = jax.vmap(jnp.searchsorted)(z_vals, z_all)  # [N, Sf]
-                t_est = 1.0 - jnp.take_along_axis(
-                    cum_w, jnp.maximum(idx - 1, 0), axis=-1)
-                t_est = jnp.where(idx > 0, t_est, 1.0)
-                mask = mask & (jax.lax.stop_gradient(t_est)
-                               >= opts.ert_threshold)
+            # Set the fraction from calibrate_compaction (capacity-aware,
+            # round 5) — a static guess below the actual kept rate drops
+            # real samples and collapses quality (measured, docs/PERF.md).
+            mask = fine_pass_mask(grid, pts_f, z_vals, z_all,
+                                  out_c["weights"], opts)
             cap = compaction_capacity(z_all.shape[0] * z_all.shape[1],
                                       opts.ess_compaction)
             raw_f = query_masked_compacted(

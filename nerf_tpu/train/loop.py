@@ -316,6 +316,10 @@ def validate(cfg, params, opts, grid, recorder=None, step=0, n_images: int = 2):
         val_cfg.test_dataset.split = "val"
         ds = make_dataset(val_cfg, "test")
     except FileNotFoundError:
+        # ADVICE r4: never skip silently — a misconfigured data_root would
+        # otherwise train blind with no signal that validation never ran.
+        print("WARNING: val split not found (check data_root); "
+              "skipping validation", flush=True)
         return
     psnrs = []
     for i in range(min(n_images, len(ds))):

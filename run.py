@@ -173,6 +173,15 @@ def run_evaluate(cfg):
         background_strategy=cfg.get("background_strategy", "none"),
     )
     K = jnp.asarray(ds.K)
+    if opts.ess_compaction < 0.0:  # "auto": calibrate per checkpoint
+        from nerf_tpu.render.rays import image_rays
+        from nerf_tpu.render.renderer import resolve_compaction
+
+        ro, rd = image_rays(ds.H, ds.W, K, jnp.asarray(ds.poses[0]))
+        mid = (ds.H * ds.W) // 2
+        opts = resolve_compaction(
+            opts, params, grid,
+            ro[mid - 2048:mid + 2048], rd[mid - 2048:mid + 2048])
     meter = RaysPerSecond(drop_first=1)
     for i in range(len(ds)):
         with meter.measure(ds.H * ds.W):

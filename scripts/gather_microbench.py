@@ -69,10 +69,12 @@ def main():
 
     # f32 vs bf16 at fixed row count
     R = 1 << 21
-    for dtype, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32 ")):
+    # ADVICE r4: hash(name) is PYTHONHASHSEED-salted (non-reproducible
+    # across processes) — use a fixed per-case integer instead
+    for case_i, (dtype, name) in enumerate(
+            ((jnp.bfloat16, "bf16"), (jnp.float32, "f32 "))):
         table = jax.random.normal(key, (T, 2), dtype)
-        idxs = make_idx_list(jax.random.fold_in(key, hash(name) % 997),
-                             (R,), T)
+        idxs = make_idx_list(jax.random.fold_in(key, 100 + case_i), (R,), T)
 
         @jax.jit
         def g(tab, ix):

@@ -74,6 +74,14 @@ def main():
     if not scores:
         print("no candidates scored; leaving canonical untouched")
         return
+    # ADVICE r4: if the canonical checkpoint failed to score, a degraded
+    # run could silently replace it — refuse to promote without the
+    # canonical comparison point
+    if "canonical" not in scores:
+        print("canonical checkpoint was not scored (load/score failure); "
+              "refusing to promote — fix canonical scoring first")
+        print(json.dumps({"scores": scores, "best": None}))
+        return
     best = max(scores, key=scores.get)
     print(json.dumps({"scores": scores, "best": best}))
     if best != "canonical":

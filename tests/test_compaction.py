@@ -170,3 +170,62 @@ def test_compaction_disabled_in_training():
     g = jax.grad(last_ray_loss)(params)
     gw = np.asarray(g["fine"]["pts_linears"][0]["w"])
     assert np.isfinite(gw).all() and (gw != 0).any()
+
+
+def test_calibrate_compaction_quality_neutral():
+    """Capacity-aware calibration (round 5): the calibrated fraction must
+    cover the actual kept rate, so compacted rendering matches dense."""
+    from nerf_tpu.render.renderer import (
+        calibrate_compaction, resolve_compaction,
+    )
+    import dataclasses
+
+    opts, params, grid = _setup(frac=0.0)
+    rng = np.random.RandomState(3)
+    n = 64
+    rays_o = jnp.asarray(
+        np.tile([[2.5, 0.0, 0.0]], (n, 1)).astype(np.float32))
+    d = np.concatenate(
+        [-np.ones((n, 1)), 0.3 * rng.randn(n, 2)], axis=1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(d)
+    key = jax.random.PRNGKey(0)
+
+    frac = calibrate_compaction(params, rays_o, rays_d, key, opts, grid)
+    assert 0.0 <= frac < 1.0
+
+    auto_opts = dataclasses.replace(opts, ess_compaction=-1.0)
+    resolved = resolve_compaction(auto_opts, params, grid, rays_o, rays_d)
+    assert resolved.ess_compaction >= 0.0
+
+    if frac > 0.0:
+        dense = render_rays(params, rays_o, rays_d, key, opts, grid=grid)
+        comp = render_rays(
+            params, rays_o, rays_d, key,
+            dataclasses.replace(opts, ess_compaction=frac), grid=grid)
+        np.testing.assert_allclose(
+            np.asarray(comp["rgb_map"]), np.asarray(dense["rgb_map"]),
+            atol=1e-5)
+
+
+def test_calibrate_compaction_disables_when_kept_rate_high():
+    """When nearly every fine sample is kept (the ESS-refocus regime),
+    calibration must return 0.0 (dense path) instead of a harmful cap."""
+    from nerf_tpu.render.renderer import calibrate_compaction
+
+    opts, params, _ = _setup(frac=0.0)
+    # fully-occupied grid + ERT off => kept rate 1.0
+    res = 8
+    grid = occ.OccupancyGrid(
+        occupied=jnp.ones((res, res, res), bool),
+        bbox_min=jnp.full((3,), -2.0), bbox_max=jnp.full((3,), 2.0),
+    )
+    rng = np.random.RandomState(4)
+    rays_o = jnp.zeros((32, 3), jnp.float32)
+    d = rng.randn(32, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(d)
+
+    frac = calibrate_compaction(params, rays_o, rays_d,
+                                jax.random.PRNGKey(1), opts, grid)
+    assert frac == 0.0
