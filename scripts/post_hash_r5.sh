@@ -1,0 +1,131 @@
+#!/bin/bash
+# Round-5 hash post-training sequence: waits for the watchdog-managed
+# cellpack run (train_hashgrid_r5.sh) to come down, then strictly
+# sequentially (ONE TPU process at a time):
+#   1. eval-tile probe (1024 vs 2048) + 6-frame val probe
+#   2. full 200-frame reference-protocol eval  -> EVAL_r5
+#   3. checkpoint snapshot into checkpoints/
+# Logs under /tmp/post_r5/; touches /tmp/post_r5/hash_done at the end.
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/post_r5
+mkdir -p "$OUT"
+DATA=/root/reference/data/nerf_synthetic
+CFG=configs/nerf/lego_hashgrid_cellpack.yaml
+
+if [ "${1:-}" != "--now" ]; then
+  WPIDFILE=/tmp/watchdog_r5.pid
+  while true; do
+    if [ -f /tmp/train_done ] || [ -f /tmp/stop_training ]; then
+      sleep 10; break
+    fi
+    WP=$(cat "$WPIDFILE" 2>/dev/null)
+    if [ -n "$WP" ] && ! kill -0 "$WP" 2>/dev/null; then
+      PG=$(cat /tmp/train_r1c.pgid 2>/dev/null)
+      [ -n "$PG" ] && kill -0 "$PG" 2>/dev/null && { sleep 20; continue; }
+      break
+    fi
+    sleep 20
+  done
+fi
+echo "$(date) training down; starting hash post sequence" > "$OUT/progress.log"
+
+# 1. tile probe + val probe (one process)
+timeout 2400 python - <<'EOF' > "$OUT/hash_tile.log" 2>&1
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.config import make_cfg
+from nerf_tpu.data.blender import make_dataset
+from nerf_tpu.eval.metrics import psnr as psnr_fn
+from nerf_tpu.render import occupancy as occ
+from nerf_tpu.render.renderer import RenderOptions, render_image
+from nerf_tpu.train.loop import make_density_fn
+from run import _load_eval_params
+
+DATA = "/root/reference/data/nerf_synthetic"
+cfg = make_cfg("configs/nerf/lego_hashgrid_cellpack.yaml", [
+    "train_dataset.data_root", DATA, "test_dataset.data_root", DATA])
+res = {}
+vcfg = cfg.clone(); vcfg.test_dataset.split = "val"
+ds = make_dataset(vcfg, "test")
+K = jnp.asarray(ds.K)
+best = (None, 0.0)
+for tile in (1024, 2048):
+    c = cfg.clone(); c.render_tile_rays = tile
+    opts = RenderOptions.from_cfg(c)
+    params = _load_eval_params(c, opts)
+    grid = occ.populate_from_density(
+        occ.init_grid(jax.random.PRNGKey(1)),
+        make_density_fn(params["coarse"], opts))
+    try:
+        out = render_image(params, jnp.asarray(ds.poses[0]), K,
+                           jax.random.PRNGKey(0), ds.H, ds.W, opts,
+                           grid=grid)
+        np.asarray(out["rgb_map"])  # compile+run
+        t0 = time.time()
+        out = render_image(params, jnp.asarray(ds.poses[1]), K,
+                           jax.random.PRNGKey(1), ds.H, ds.W, opts,
+                           grid=grid)
+        np.asarray(out["rgb_map"])
+        dt = time.time() - t0
+        rps = ds.H * ds.W / dt
+        res[f"tile_{tile}"] = {"s_per_frame": round(dt, 2),
+                               "rays_per_s": round(rps, 0)}
+        print(f"tile {tile}: {dt:.2f} s/frame {rps:,.0f} rays/s", flush=True)
+        if rps > best[1]:
+            best = (tile, rps)
+    except Exception as e:
+        res[f"tile_{tile}"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        print(f"tile {tile}: FAILED {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+
+tile = best[0] or 1024
+res["chosen_tile"] = tile
+c = cfg.clone(); c.render_tile_rays = tile
+opts = RenderOptions.from_cfg(c)
+params = _load_eval_params(c, opts)
+grid = occ.populate_from_density(
+    occ.init_grid(jax.random.PRNGKey(1)),
+    make_density_fn(params["coarse"], opts))
+ps = []
+for i in (0, 16, 32, 48, 64, 80):
+    out = render_image(params, jnp.asarray(ds.poses[i]), K,
+                       jax.random.PRNGKey(i), ds.H, ds.W, opts, grid=grid)
+    pred = np.clip(np.asarray(out.get("rgb_map", out["rgb_map_0"]),
+                              np.float32), 0, 1)
+    ps.append(float(psnr_fn(pred, ds.images[i])))
+    print(f"val frame {i}: {ps[-1]:.2f}", flush=True)
+res["val_psnr_6frame"] = round(float(np.mean(ps)), 3)
+res["val_per_frame"] = [round(p, 2) for p in ps]
+with open("/tmp/post_r5/hash_tile.json", "w") as f:
+    json.dump(res, f, indent=1)
+with open("/tmp/post_r5/chosen_tile.txt", "w") as f:
+    f.write(str(tile))
+print(json.dumps(res))
+EOF
+echo "$(date) tile+val probe done rc=$?" >> "$OUT/progress.log"
+TILE=$(cat "$OUT/chosen_tile.txt" 2>/dev/null || echo 1024)
+
+# 2. full 200-frame reference-protocol eval
+echo "$(date) hash eval200 start (tile $TILE)" >> "$OUT/progress.log"
+timeout 10800 python -u run.py --type evaluate --cfg_file "$CFG" \
+  train_dataset.data_root $DATA test_dataset.data_root $DATA \
+  write_video False render_path False render_tile_rays "$TILE" \
+  > "$OUT/hash_eval_full.log" 2>&1
+echo "$(date) hash eval200 done rc=$?" >> "$OUT/progress.log"
+cp workspace/result/nerf/lego/nerf_hashgrid_cellpack/metrics/evaluation_results.json \
+   "$OUT/hash_eval200_results.json" 2>/dev/null || true
+
+# 3. snapshot the trained checkpoint
+bash scripts/snapshot_ckpt.sh nerf/lego/nerf_hashgrid_cellpack \
+  >> "$OUT/progress.log" 2>&1
+touch "$OUT/hash_done"
+echo "$(date) hash post sequence complete" >> "$OUT/progress.log"

@@ -28,6 +28,9 @@ train_dataset.data_root $DATA test_dataset.data_root $DATA \
 eval_ep 10 save_latest_ep 2 save_ep 20 $*"
 export WATCHDOG_LOG=/tmp/train_hash_r5.log
 export WATCHDOG_MAX_RESTARTS=40
+# slotpack-backward train program compiles in ~350 s (silent log); don't
+# let the stale detector kill a healthy compile
+export WATCHDOG_STALE=900
 bash scripts/train_watchdog.sh > "$OUT/hash_watchdog_nohup.log" 2>&1 &
 echo $! > /tmp/watchdog_r5.pid
 echo "hash main run: budget ${BUDGET}s, watchdog $(cat /tmp/watchdog_r5.pid), log $WATCHDOG_LOG"
