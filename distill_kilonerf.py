@@ -115,19 +115,37 @@ def main(argv=None):
     pose = jnp.eye(4).at[2, 3].set(4.0)
     K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], jnp.float32)
 
+    # render-path comparison uses multi-round dispatch: ray samples
+    # cluster into frustum voxels far past the mean-sized capacity and
+    # dropped overflow renders as empty space (the loss path instead
+    # sizes capacity explicitly, so it stays single-round)
+    kcfg_render = kcfg._replace(
+        dispatch_rounds=int(kilo_node.get("dispatch_rounds", 4)))
+
     def kilo_query(p, pts, viewdirs, o):
-        return query_network_kilonerf(p, pts, viewdirs, o, kcfg)
+        return query_network_kilonerf(p, pts, viewdirs, o, kcfg_render)
 
     from nerf_tpu.render.renderer import render_rays
     from nerf_tpu.render.rays import image_rays
 
     rays_o, rays_d = image_rays(H, W, K, pose)
-    out_t = render_rays(teacher, rays_o, rays_d, jax.random.PRNGKey(0), opts)
+
+    # chunk the comparison render: one unchunked H*W-ray call makes XLA
+    # place the integrate kernel's [N, S] weights output in scoped VMEM,
+    # which overflows its 16 MB limit past ~20k rays (observed at 200x200)
+    def render_chunked(p, query_fn=None, chunk=4096):
+        outs = []
+        for s in range(0, rays_o.shape[0], chunk):
+            o = render_rays(p, rays_o[s:s + chunk], rays_d[s:s + chunk],
+                            jax.random.PRNGKey(0), opts, query_fn=query_fn)
+            outs.append(np.asarray(o["rgb_map"], np.float32))
+        return np.concatenate(outs, axis=0)
+
+    pt_full = render_chunked(teacher)
     kparams2 = {"coarse": params, "fine": params}
-    out_s = render_rays(kparams2, rays_o, rays_d, jax.random.PRNGKey(0), opts,
-                        query_fn=kilo_query)
-    pt = np.clip(np.asarray(out_t["rgb_map"]), 0, 1)
-    ps = np.clip(np.asarray(out_s["rgb_map"]), 0, 1)
+    ps_full = render_chunked(kparams2, query_fn=kilo_query)
+    pt = np.clip(pt_full, 0, 1)
+    ps = np.clip(ps_full, 0, 1)
     mse = float(np.mean((pt - ps) ** 2))
     psnr = -10 * np.log10(max(mse, 1e-10))
     print(f"student vs teacher render: mse {mse:.6f}  psnr {psnr:.2f} dB")

@@ -42,6 +42,10 @@ class KiloConfig(NamedTuple):
     bbox_min: float = -2.0
     bbox_max: float = 2.0
     capacity_factor: float = 2.0
+    # serving rounds per dispatch: round r serves rank window
+    # [r*C, (r+1)*C) of each network, so rounds*C bounds the per-network
+    # load actually evaluated (overflow past that renders as empty space)
+    dispatch_rounds: int = 1
 
 
 def n_networks(cfg: KiloConfig) -> int:
@@ -139,21 +143,30 @@ def _rank_bucketed(ids: jnp.ndarray, G: int, K: int = _BUCKET) -> jnp.ndarray:
     return rank.reshape(-1)[:P]
 
 
-def _dispatch(ids: jnp.ndarray, G: int, capacity: int):
+def _dispatch(ids: jnp.ndarray, G: int, capacity: int,
+              round_offset: int = 0, rank: jnp.ndarray = None):
     """MoE-style capacity dispatch.
+
+    ``round_offset`` selects the capacity window [offset*C, (offset+1)*C)
+    of each network's rank order (multi-round serving: round r dispatches
+    the points round r-1 overflowed — windows are disjoint by
+    construction). Pass a precomputed ``rank`` to amortize the sort
+    across rounds.
 
     Returns (slot [P] in [0, capacity) or -1 when dropped,
              gather_idx [G, C] point index per slot (0 for empty),
              slot_valid [G, C]).
     """
     P = ids.shape[0]
-    # rank of each point within its network id (stable order)
-    if RANK_MODE == "bucketed" and P > _BUCKET:
-        rank = _rank_bucketed(ids, G)
-    else:
-        rank = _rank_sort(ids, G)
+    if rank is None:
+        # rank of each point within its network id (stable order)
+        if RANK_MODE == "bucketed" and P > _BUCKET:
+            rank = _rank_bucketed(ids, G)
+        else:
+            rank = _rank_sort(ids, G)
 
-    slot = jnp.where(rank < capacity, rank, -1)
+    wrank = rank - round_offset * capacity
+    slot = jnp.where((wrank >= 0) & (wrank < capacity), wrank, -1)
 
     # gather index: for (g, c) -> point index. Dropped points scatter to an
     # OUT-OF-BOUNDS index (mode="drop" only ignores out-of-bounds targets —
@@ -254,17 +267,25 @@ def kilonerf_eval(
 ) -> jnp.ndarray:
     """pts, dirs: [P, 3] -> raw [P, 4] (rgb_raw, sigma_raw).
 
-    Points whose network slot buffer overflows return zeros (treated as
-    empty space); size ``capacity`` with cfg.capacity_factor headroom.
+    Points whose network slot buffer overflows after
+    ``cfg.dispatch_rounds`` serving rounds return zeros (treated as empty
+    space); size ``capacity`` with cfg.capacity_factor headroom. Rounds
+    are disjoint rank windows, so rounds x capacity is the per-network
+    serving bound — the knob for ray-clustered loads (docs/PERF.md
+    "capacity-overflow drops") without growing the [G, C, 90] buffer.
     """
     P = pts.shape[0]
     G = n_networks(cfg)
     if capacity <= 0:
         capacity = max(8, int(cfg.capacity_factor * P / G))
+    rounds = max(1, int(cfg.dispatch_rounds))
 
     ids = assign_networks(pts, cfg)
     local = global_to_local(pts, ids, cfg)
-    slot, gather_idx, slot_valid = _dispatch(ids, G, capacity)
+    if RANK_MODE == "bucketed" and P > _BUCKET:
+        rank = _rank_bucketed(ids, G)
+    else:
+        rank = _rank_sort(ids, G)
 
     # Encode BEFORE the slot gather (round-3 diag): a [P,3] row gather
     # uses 3 of 128 lanes and measured 24 ms for 786k slots; gathering the
@@ -276,20 +297,27 @@ def kilonerf_eval(
         freq_encode(local, cfg.xyz_freqs),
         freq_encode(dirs, cfg.dir_freqs),
     ], axis=-1)                                     # [P, 63+27]
-    embg = emb[gather_idx.reshape(-1)].reshape(G, capacity, emb.shape[-1])
 
-    raw_slots = mlp_grouped(params, embg[..., :nx], embg[..., nx:], cfg,
-                            encoded=True)           # [G, C, 4]
+    # dropped points (slot == -1 in every round) stay zero: empty space
+    out = jnp.zeros((P, 4), emb.dtype)
+    for r in range(rounds):
+        slot, gather_idx, slot_valid = _dispatch(ids, G, capacity,
+                                                 round_offset=r, rank=rank)
+        embg = emb[gather_idx.reshape(-1)].reshape(G, capacity,
+                                                   emb.shape[-1])
+        raw_slots = mlp_grouped(params, embg[..., :nx], embg[..., nx:],
+                                cfg, encoded=True)  # [G, C, 4]
 
-    # back to point order via the INVERSE gather out[i] = raw[ids_i, slot_i]
-    # (round-3 diag: the scatter formulation — reference
-    # scatter_int32_float4 — measured 36 ms for 393k 4-wide rows on the
-    # v5e; TPU random-row scatters are scalar-bound, the gather is cheaper
-    # and each point's slot is unique by construction)
-    inv = ids * capacity + jnp.clip(slot, 0, capacity - 1)
-    out = raw_slots.reshape(-1, 4)[inv]
-    # dropped points (slot == -1) are empty space: sigma_raw 0 -> alpha 0
-    return jnp.where((slot >= 0)[:, None], out, 0.0)
+        # back to point order via the INVERSE gather
+        # out[i] = raw[ids_i, slot_i] (round-3 diag: the scatter
+        # formulation — reference scatter_int32_float4 — measured 36 ms
+        # for 393k 4-wide rows on the v5e; TPU random-row scatters are
+        # scalar-bound, the gather is cheaper and each point's slot is
+        # unique by construction)
+        inv = ids * capacity + jnp.clip(slot, 0, capacity - 1)
+        out_r = raw_slots.reshape(-1, 4)[inv]
+        out = jnp.where((slot >= 0)[:, None], out_r, out)
+    return out
 
 
 def query_network_kilonerf(params, pts, viewdirs, opts, cfg: KiloConfig = None):
@@ -331,6 +359,7 @@ def distill_step(
     import optax
 
     k1, k2 = jax.random.split(key)
+    capacity = 0  # kilonerf_eval default: 2x the all-networks mean load
     if occ_centers is not None and occ_centers.shape[0] > 0:
         k1a, k1b, k1c = jax.random.split(k1, 3)
         n_occ = int(n_pts * occ_frac)
@@ -342,6 +371,16 @@ def distill_step(
                                      cfg.bbox_min, cfg.bbox_max)
         pts = jnp.concatenate([pts_occ, pts_uni], axis=0)
         pts = jnp.clip(pts, cfg.bbox_min, cfg.bbox_max)
+        # capacity sized to the OCCUPIED-half's per-voxel load, not the
+        # all-networks mean: n_occ points land in the M occupied voxels
+        # (mean n_occ/M), which dwarfs kilonerf_eval's default
+        # 2*n_pts/G when M << G — with the default the dispatch silently
+        # dropped ~half the geometry samples (returned raw=0), flooring
+        # the distill loss at ~0.8 and the student at ~9-13 dB (round-5
+        # EVAL; the round-1 "12.95 dB stall" shares this root cause).
+        # 6x mean covers the multinomial tail; drops become negligible.
+        m_occ = int(occ_centers.shape[0])
+        capacity = int(min(n_pts, max(64, (6 * n_occ) // max(1, m_occ))))
     else:
         pts = jax.random.uniform(k1, (n_pts, 3), jnp.float32,
                                  cfg.bbox_min, cfg.bbox_max)
@@ -355,7 +394,7 @@ def distill_step(
     t_sigma = jnp.log1p(jax.nn.relu(t_raw[..., 3]))
 
     def loss_fn(p):
-        raw = kilonerf_eval(p, pts, dirs, cfg)
+        raw = kilonerf_eval(p, pts, dirs, cfg, capacity=capacity)
         rgb = jax.nn.sigmoid(raw[..., :3])
         sigma = jnp.log1p(jax.nn.relu(raw[..., 3]))
         return jnp.mean((rgb - t_rgb) ** 2) + jnp.mean((sigma - t_sigma) ** 2)

@@ -59,7 +59,9 @@ def kilonerf_eval_ep(
 
     params: the usual KiloNeRF pytree with leading G axis, sharded (or
     shardable) over ``axis``. Equals ``kilonerf_eval`` where capacities
-    suffice; overflow points return zeros.
+    suffice; overflow points return zeros. ``cfg.dispatch_rounds`` is NOT
+    honored here (single-round only) — match dense eval by sizing
+    ``send_capacity``/``expert_capacity`` instead of rounds.
     """
     D = mesh.shape[axis]
     G = n_networks(cfg)

@@ -67,6 +67,7 @@ class RenderOptions:
     kilo_grid_size: int = 16
     kilo_hidden: int = 32
     kilo_capacity_factor: float = 2.0
+    kilo_dispatch_rounds: int = 1
     xyz_freqs: int = 10
     dir_freqs: int = 4
     # xyz encoder: "frequency" (reference default) or "hashgrid" (instant-
@@ -139,6 +140,7 @@ class RenderOptions:
             kilo_grid_size=int(kilo.get("grid_size", 16)),
             kilo_hidden=int(kilo.get("hidden", 32)),
             kilo_capacity_factor=float(kilo.get("capacity_factor", 2.0)),
+            kilo_dispatch_rounds=int(kilo.get("dispatch_rounds", 1)),
             n_samples=int(ta.N_samples),
             n_importance=int(ta.N_importance),
             near=float(cfg.get("near", 2.0)),
@@ -217,6 +219,7 @@ def kilo_config_from_opts(opts: RenderOptions):
         xyz_freqs=opts.xyz_freqs,
         dir_freqs=opts.dir_freqs,
         capacity_factor=opts.kilo_capacity_factor,
+        dispatch_rounds=opts.kilo_dispatch_rounds,
     )
 
 

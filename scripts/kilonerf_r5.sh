@@ -10,9 +10,9 @@ OUT=/tmp/post_r5
 mkdir -p "$OUT"
 DATA=/root/reference/data/nerf_synthetic
 
-timeout 1200 python -u distill_kilonerf.py --cfg_file configs/nerf/lego.yaml \
+timeout 1800 python -u distill_kilonerf.py --cfg_file configs/nerf/lego.yaml \
   train_dataset.data_root $DATA test_dataset.data_root $DATA \
-  kilo.steps 2000 > "$OUT/distill.log" 2>&1
+  kilo.steps 4000 > "$OUT/distill.log" 2>&1
 echo "distill rc=$?"
 tail -3 "$OUT/distill.log"
 

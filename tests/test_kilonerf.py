@@ -241,3 +241,33 @@ def test_rank_bucketed_matches_sort():
     a = np.asarray(_rank_sort(ids, G))
     b = np.asarray(_rank_bucketed(ids, G, K=128))
     np.testing.assert_array_equal(a, b)
+
+
+def test_multi_round_dispatch_serves_overflow():
+    """Clustered points overflow a tight capacity; dispatch_rounds must
+    serve the overflow rank windows so multi-round @ capacity C matches
+    one round @ rounds*C exactly (disjoint windows), and recovers the
+    naive per-point evaluation that capacity drops corrupt (the round-5
+    'capacity-overflow drops' bug, docs/PERF.md)."""
+    cfg = small_cfg()
+    params = init_kilonerf(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(11)
+    # all points inside ONE voxel of the 4^3 grid -> per-network load = P
+    base = np.array([0.3, 0.3, 0.3], np.float32)
+    pts = jnp.asarray(base + rng.uniform(0, 0.2, (96, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.randn(96, 3).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    # tight capacity 16: single round serves only 16 of the 96 points
+    one_round = kilonerf_eval(params, pts, dirs, cfg, capacity=16)
+    dropped = np.asarray((np.abs(np.asarray(one_round)).sum(-1) == 0))
+    assert dropped.sum() == 96 - 16
+
+    cfg6 = cfg._replace(dispatch_rounds=6)
+    multi = kilonerf_eval(params, pts, dirs, cfg6, capacity=16)
+    full = kilonerf_eval(params, pts, dirs, cfg, capacity=96)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(full),
+                               atol=1e-6)
+    ref = naive_eval(params, pts, dirs, cfg)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(ref),
+                               atol=2e-4)
